@@ -1,0 +1,152 @@
+"""Hungarian-matched instance loss: per-slot BCE + soft-IoU.
+
+Parity (/root/reference/networks/evaluator.py:19-74):
+- GT labels are one-hot'd into the first `valid` slots of a fixed [N, K] buffer,
+  slots ordered by ascending label id (torch.unique ordering).
+- cost_ce[k, c]  = mean over rays of BCE(pred[:, c], gt[:, k])
+- cost_siou[k,c] = 1 - TP/(TP+FP+FN+1e-6), TP = sum pred*gt
+- Hungarian on cost_ce + cost_siou over the valid rows;
+  loss = mean matched CE + mean over unmatched pred columns + mean matched (1-sIoU).
+
+TPU redesign: the dynamic `torch.unique` shapes become static masks, and the cost
+matrices are computed as MXU matmuls (gt^T @ log pred etc.), so under a ray-sharded
+mesh each device computes partial [K, K] matrices and a single psum of ~K² floats
+replaces the reference's per-step CPU sync. The assignment itself runs in-graph
+(ops/lap.py) on stop_gradient'd costs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dmnerf_tpu.ops.lap import lap_square
+
+
+class InsLoss(NamedTuple):
+    total: jnp.ndarray
+    valid_ce: jnp.ndarray
+    invalid_ce: jnp.ndarray
+    valid_siou: jnp.ndarray
+
+
+def build_gt_onehot(gt_labels: jnp.ndarray, ins_num: int):
+    """Static-shape equivalent of the reference's unique+one_hot slotting
+    (evaluator.py:21-25).
+
+    gt_labels: [N] int in [0, ins_num). Returns (gt [N, K] one-hot into slots
+    ordered by ascending present label id, row_valid [K] bool, valid_num scalar).
+    """
+    labels = gt_labels.astype(jnp.int32)
+    presence = jnp.zeros((ins_num,), jnp.int32).at[labels].add(1) > 0  # [K]
+    valid_num = jnp.sum(presence.astype(jnp.int32))
+    rank = jnp.cumsum(presence.astype(jnp.int32)) - 1          # label id -> slot
+    slots = rank[labels]                                        # [N]
+    gt = jax.nn.one_hot(slots, ins_num, dtype=jnp.float32)      # [N, K]
+    row_valid = jnp.arange(ins_num) < valid_num
+    return gt, row_valid, valid_num
+
+
+def cost_matrices(pred: jnp.ndarray, gt: jnp.ndarray,
+                  logits: jnp.ndarray | None = None):
+    """cost_ce, cost_siou: [K_gt_slots, K_pred_cols] via matmuls.
+
+    pred: [N, K] in (0, 1) (sigmoid-composited instance map),
+    gt:   [N, K] one-hot,
+    logits: optional [N, K] pre-sigmoid map. When given, the BCE uses the
+    numerically exact logit form (-log sigmoid(x) = softplus(-x)) whose jitted
+    gradient cannot produce inf*0 NaNs at saturation; the reference's
+    log(p + 1e-8) form (evaluator.py:60) differs only where the epsilon clamps
+    the true BCE.
+    """
+    n = pred.shape[0]
+    if logits is not None:
+        logp = -jax.nn.softplus(-logits)
+        log1mp = -jax.nn.softplus(logits)
+    else:
+        logp = jnp.log(pred + 1e-8)
+        log1mp = jnp.log(1.0 - pred + 1e-8)
+    # BCE(pred_c, gt_k) summed over rays = -gt_k^T logp_c - (1-gt_k)^T log1mp_c
+    ce = -(gt.T @ logp) - ((1.0 - gt).T @ log1mp)
+    cost_ce = ce / n
+
+    tp = gt.T @ pred                                   # [K, K]
+    fp = jnp.sum(pred, axis=0)[None, :] - tp
+    fn = jnp.sum(gt, axis=0)[:, None] - tp
+    siou = tp / (tp + fp + fn + 1e-6)
+    return cost_ce, 1.0 - siou
+
+
+def ins_criterion(pred_ins: jnp.ndarray, gt_labels: jnp.ndarray, ins_num: int) -> InsLoss:
+    """Full instance loss on a ray batch (single-device form).
+
+    pred_ins: [N, K] sigmoid instance map; gt_labels: [N] int.
+    """
+    gt, row_valid, valid_num = build_gt_onehot(gt_labels, ins_num)
+    cost_ce, cost_siou = cost_matrices(pred_ins, gt)
+    col_mean_pred = jnp.mean(pred_ins, axis=0)  # [K]
+    return ins_loss_from_stats(cost_ce, cost_siou, col_mean_pred,
+                               row_valid, valid_num, ins_num)
+
+
+def ins_criterion_pair(pred_coarse: jnp.ndarray, pred_fine: jnp.ndarray,
+                       gt_labels: jnp.ndarray, ins_num: int,
+                       logits_coarse: jnp.ndarray | None = None,
+                       logits_fine: jnp.ndarray | None = None):
+    """Coarse+fine instance losses sharing ONE vmapped LAP.
+
+    The train step needs two assignments per iteration (coarse and fine,
+    train_dmsr.py:38-45); vmapping the solver over the stacked [2, K, K] costs
+    emits a single batched while-loop program instead of two copies — this
+    halves the dominant compile cost of the train step. Pass the composited
+    pre-sigmoid maps as logits_* for the numerically stable BCE path.
+    """
+    gt, row_valid, valid_num = build_gt_onehot(gt_labels, ins_num)
+    ce_c, siou_c = cost_matrices(pred_coarse, gt, logits_coarse)
+    ce_f, siou_f = cost_matrices(pred_fine, gt, logits_fine)
+    cost = jnp.stack([ce_c + siou_c, ce_f + siou_f])
+    cost = jnp.where(row_valid[None, :, None], cost, 0.0)
+    col4rows = jax.vmap(lap_square)(cost)  # [2, K]
+    out = []
+    for ce, siou, col4row, pred in ((ce_c, siou_c, col4rows[0], pred_coarse),
+                                    (ce_f, siou_f, col4rows[1], pred_fine)):
+        out.append(_matched_loss(ce, siou, jnp.mean(pred, axis=0),
+                                 row_valid, valid_num, ins_num, col4row))
+    return out[0], out[1]
+
+
+def ins_loss_from_stats(cost_ce, cost_siou, col_mean_pred,
+                        row_valid, valid_num, ins_num: int) -> InsLoss:
+    """Compute the matched loss from (possibly psum-reduced) cost matrices.
+
+    Under a ray-sharded mesh, compute cost_ce*N, tp/fp/fn and col sums per shard,
+    psum, renormalize, then call this — the LAP and the means are replicated work
+    on [K, K] arrays.
+    """
+    cost = jnp.where(row_valid[:, None], cost_ce + cost_siou, 0.0)
+    col4row = lap_square(cost)  # [K]
+    return _matched_loss(cost_ce, cost_siou, col_mean_pred, row_valid,
+                         valid_num, ins_num, col4row)
+
+
+def _matched_loss(cost_ce, cost_siou, col_mean_pred, row_valid, valid_num,
+                  ins_num: int, col4row) -> InsLoss:
+
+    rows = jnp.arange(ins_num)
+    vmask = row_valid.astype(jnp.float32)
+    denom = jnp.maximum(valid_num.astype(jnp.float32), 1.0)
+    valid_ce = jnp.sum(cost_ce[rows, col4row] * vmask) / denom
+    valid_siou = jnp.sum(cost_siou[rows, col4row] * vmask) / denom
+
+    matched_cols = jnp.zeros((ins_num,), jnp.float32).at[col4row].add(vmask)
+    unmatched = 1.0 - jnp.minimum(matched_cols, 1.0)
+    n_unmatched = jnp.sum(unmatched)
+    invalid_ce = jnp.where(
+        n_unmatched > 0,
+        jnp.sum(col_mean_pred * unmatched) / jnp.maximum(n_unmatched, 1.0),
+        0.0)
+
+    total = valid_ce + invalid_ce + valid_siou
+    return InsLoss(total, valid_ce, invalid_ce, valid_siou)

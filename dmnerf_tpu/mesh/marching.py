@@ -1,0 +1,175 @@
+"""Isosurface extraction: vectorized marching tetrahedra.
+
+The reference uses skimage.measure.marching_cubes (mesh_generator.py:68), which
+is unavailable here. Marching tetrahedra (each cube split into 6 tets around the
+main diagonal) extracts the same isosurface without the 256-case lookup tables —
+slightly more triangles, fully verifiable case enumeration, easy to vectorize in
+numpy. Vertices are deduplicated on global edge ids; normals come from the
+trilinearly-interpolated volume gradient (matching skimage's
+gradient_direction='ascent' convention).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+# cube corner offsets (x, y, z)
+_CORNERS = np.array([
+    (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+], np.int64)
+
+# 6 tetrahedra sharing the 0-6 main diagonal
+_TETS = np.array([
+    (0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+    (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6),
+], np.int64)
+
+# tet edges as (corner_a, corner_b) local indices
+_TET_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+# case -> list of triangles, each a triple of tet-edge indices.
+# case bit i set == corner i is "inside" (value > level).
+_CASES = {
+    0b0001: [(0, 1, 2)],
+    0b0010: [(0, 3, 4)],
+    0b0100: [(1, 3, 5)],
+    0b1000: [(2, 4, 5)],
+    0b0011: [(1, 3, 4), (1, 4, 2)],
+    0b0101: [(0, 2, 5), (0, 5, 3)],
+    0b1001: [(0, 4, 5), (0, 5, 1)],
+    0b0110: [(0, 5, 4), (0, 1, 5)],
+    0b1010: [(0, 5, 2), (0, 3, 5)],
+    0b1100: [(1, 4, 3), (1, 2, 4)],
+    0b1110: [(0, 2, 1)],
+    0b1101: [(0, 4, 3)],
+    0b1011: [(1, 5, 3)],
+    0b0111: [(2, 5, 4)],
+}
+
+
+def _interp_normals(volume: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Volume-gradient normals trilinearly sampled at vertex positions."""
+    g = np.stack(np.gradient(volume.astype(np.float64)), axis=-1)  # [D0,D1,D2,3]
+    base = np.floor(verts).astype(np.int64)
+    mx = np.array(volume.shape) - 2
+    base = np.clip(base, 0, mx)
+    frac = verts - base
+    out = np.zeros_like(verts)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.where(dx, frac[:, 0], 1 - frac[:, 0])
+                     * np.where(dy, frac[:, 1], 1 - frac[:, 1])
+                     * np.where(dz, frac[:, 2], 1 - frac[:, 2]))
+                out += w[:, None] * g[base[:, 0] + dx, base[:, 1] + dy, base[:, 2] + dz]
+    norm = np.linalg.norm(out, axis=-1, keepdims=True)
+    return out / np.maximum(norm, 1e-12)
+
+
+def marching_tetrahedra(volume: np.ndarray, level: float,
+                        slab: int = 32) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract the `level` isosurface of a 3D scalar volume.
+
+    Returns (vertices [V, 3] float in index coordinates, faces [F, 3] int,
+    vertex_normals [V, 3] pointing toward increasing values — skimage 'ascent').
+    Processes the volume in z-slabs to bound memory on large grids.
+    """
+    D0, D1, D2 = volume.shape
+    all_keys_a, all_keys_b, all_t = [], [], []
+    tri_edge_keys = []  # list of [n_tris, 3, 2] endpoint global-ids
+
+    vol = volume.astype(np.float32)
+
+    for z0 in range(0, D0 - 1, slab):
+        z1 = min(z0 + slab, D0 - 1)
+        # cube base coordinates in this slab
+        bx, by, bz = np.meshgrid(np.arange(z0, z1), np.arange(D1 - 1),
+                                 np.arange(D2 - 1), indexing="ij")
+        base = np.stack([bx.ravel(), by.ravel(), bz.ravel()], -1)  # [C, 3]
+
+        corner_coords = base[:, None, :] + _CORNERS[None]           # [C, 8, 3]
+        vals = vol[corner_coords[..., 0], corner_coords[..., 1],
+                   corner_coords[..., 2]]                            # [C, 8]
+        active = (vals.min(1) < level) & (vals.max(1) > level)
+        if not active.any():
+            continue
+        base = base[active]
+        vals = vals[active]
+        corner_coords = corner_coords[active]
+        # flat global corner ids for vertex dedup
+        cid = (corner_coords[..., 0] * D1 + corner_coords[..., 1]) * D2 \
+            + corner_coords[..., 2]                                  # [C, 8]
+
+        for tet in _TETS:
+            tv = vals[:, tet]                                        # [C, 4]
+            tc = cid[:, tet]                                         # [C, 4]
+            case = ((tv[:, 0] > level).astype(np.int32)
+                    | ((tv[:, 1] > level) << 1)
+                    | ((tv[:, 2] > level) << 2)
+                    | ((tv[:, 3] > level) << 3))
+            for cs, tris in _CASES.items():
+                sel = case == cs
+                if not sel.any():
+                    continue
+                stc = tc[sel]
+                stv = tv[sel]
+                for tri in tris:
+                    # endpoints of the three cut edges
+                    ea = np.array([_TET_EDGES[e][0] for e in tri])
+                    eb = np.array([_TET_EDGES[e][1] for e in tri])
+                    ka = stc[:, ea]  # [n, 3] global corner id a
+                    kb = stc[:, eb]
+                    va = stv[:, ea]
+                    vb = stv[:, eb]
+                    all_keys_a.append(ka)
+                    all_keys_b.append(kb)
+                    t = (level - va) / np.where(vb - va == 0, 1e-12, vb - va)
+                    all_t.append(np.clip(t, 0.0, 1.0))
+
+    if not all_keys_a:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                np.zeros((0, 3), np.float32))
+
+    ka = np.concatenate(all_keys_a, 0)   # [T, 3]
+    kb = np.concatenate(all_keys_b, 0)
+    t = np.concatenate(all_t, 0)
+
+    # canonical edge key (min, max); flip t accordingly
+    swap = ka > kb
+    lo = np.where(swap, kb, ka)
+    hi = np.where(swap, ka, kb)
+    t = np.where(swap, 1.0 - t, t)
+
+    edge_key = lo.astype(np.int64) * np.int64(D0 * D1 * D2) + hi
+    uniq, inverse = np.unique(edge_key.ravel(), return_inverse=True)
+    faces = inverse.reshape(-1, 3)
+
+    # representative t per unique edge (all duplicates share identical t)
+    rep = np.zeros(len(uniq))
+    rep_lo = np.zeros(len(uniq), np.int64)
+    rep_hi = np.zeros(len(uniq), np.int64)
+    flat_inv = inverse
+    rep[flat_inv] = t.ravel()
+    rep_lo[flat_inv] = lo.ravel()
+    rep_hi[flat_inv] = hi.ravel()
+
+    def unflatten(idx):
+        z = idx % D2
+        y = (idx // D2) % D1
+        x = idx // (D1 * D2)
+        return np.stack([x, y, z], -1).astype(np.float64)
+
+    pa = unflatten(rep_lo)
+    pb = unflatten(rep_hi)
+    verts = pa + rep[:, None] * (pb - pa)
+
+    # drop degenerate faces (repeated vertex ids)
+    good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+            & (faces[:, 0] != faces[:, 2]))
+    faces = faces[good]
+
+    normals = _interp_normals(vol, verts)
+    return verts.astype(np.float32), faces.astype(np.int64), normals.astype(np.float32)

@@ -1,0 +1,121 @@
+"""Manipulator: exchanger semantics + full edit pipeline shape/finite checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmnerf_tpu.edit.manipulator import exchanger, manipulate_chunk
+from dmnerf_tpu.edit.transforms import generate_poses_eval, pose_spherical, r_z
+from dmnerf_tpu.models.fields import FieldConfig, apply_field, init_field_params
+
+K = 3  # object slots; channel layout [rgb(3), sigma(1), ins(K+1)]
+C = 4 + K + 1
+
+
+def make_raw(point_labels, logit=8.0):
+    """raw [N, S, C] whose per-point argmax instance = point_labels [N, S]."""
+    point_labels = np.asarray(point_labels)
+    N, S = point_labels.shape
+    raw = np.zeros((N, S, C), np.float32)
+    raw[..., 3] = 1.0  # some density
+    for n in range(N):
+        for s in range(S):
+            raw[n, s, 4 + point_labels[n, s]] = logit
+    return jnp.asarray(raw)
+
+
+def accum_for(labels_per_ray):
+    """composited ins map [N, K+1] with argmax(air-dropped) = labels_per_ray."""
+    a = np.full((len(labels_per_ray), K + 1), 0.1, np.float32)
+    for i, l in enumerate(labels_per_ray):
+        a[i, l] = 0.9
+    return jnp.asarray(a)
+
+
+def test_exchanger_eliminate():
+    """Object on ori rays but not on tar rays -> raw zeroed."""
+    ori = make_raw([[1, 1]])          # both points claim object 1
+    tar = make_raw([[0, 0]])          # tar rays see background
+    out = exchanger(ori, [tar], accum_for([1]), [accum_for([0])], [1])
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_exchanger_exchange():
+    """Tar rays see the object -> tar raw taken."""
+    ori = make_raw([[0, 0]])
+    tar = make_raw([[1, 1]])
+    out = exchanger(ori, [tar], accum_for([0]), [accum_for([1])], [1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(tar), atol=1e-6)
+
+
+def test_exchanger_keep():
+    """Neither side involves the object -> untouched."""
+    ori = make_raw([[0, 2]])
+    tar = make_raw([[0, 0]])
+    out = exchanger(ori, [tar], accum_for([0]), [accum_for([0])], [1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ori), atol=1e-6)
+
+
+def test_exchanger_occlusion_fix_prevents_elimination():
+    """Point claims the object but the composited ray label disagrees: the
+    point is relabeled to the ray label, so it is NOT eliminated."""
+    ori = make_raw([[1, 1]])
+    tar = make_raw([[0, 0]])
+    # ray-level accum says label 2 (occluder), not the moved object 1
+    out = exchanger(ori, [tar], accum_for([2]), [accum_for([0])], [1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ori), atol=1e-6)
+
+
+def test_exchanger_filling():
+    """Ray accum says object but the points don't -> filled from tar raw."""
+    ori = make_raw([[0, 0]])
+    tar = make_raw([[2, 2]])
+    out = exchanger(ori, [tar], accum_for([1]), [accum_for([0])], [1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(tar), atol=1e-6)
+
+
+def test_manipulate_chunk_runs():
+    cfg = FieldConfig(netdepth=2, netwidth=32, multires=4, multires_views=2,
+                      ins_num=K, compute_dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params = {"coarse": init_field_params(key, cfg),
+              "fine": init_field_params(jax.random.fold_in(key, 1), cfg)}
+    cf = lambda p, v: apply_field(params["coarse"], cfg, p, v)
+    ff = lambda p, v: apply_field(params["fine"], cfg, p, v)
+
+    N = 8
+    rng = np.random.default_rng(0)
+    ori_o = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    ori_d = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    trans = r_z(0.5)
+    tar_o = ori_o @ jnp.asarray(trans[:3, :3].T, jnp.float32)
+    rgb, ins, trgb, tins = manipulate_chunk(
+        cf, ff, (ori_o, ori_d), [(tar_o, ori_d)], [1],
+        n_samples=8, n_importance=8, near=1.0, far=6.0)
+    assert rgb.shape == (N, 3) and ins.shape == (N, K + 1)
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert np.isfinite(np.asarray(ins)).all()
+
+
+def test_generate_poses_eval_center_conjugation(tmp_path):
+    import json
+    import os
+
+    class A:
+        expname = "study"
+        datadir = str(tmp_path)
+        mani_mode = "rotation"
+
+    out = generate_poses_eval(A())
+    T = np.array(out["transformations"][0]["transformation"])
+    center = np.array([-0.519422, -2.16509, 1.07392, 1.0])
+    # the object center must be a fixed point of the transform
+    np.testing.assert_allclose(T @ center, center, atol=1e-5)
+    assert os.path.exists(os.path.join(str(tmp_path), "mani", "rotation",
+                                       "transformation_matrix.json"))
+
+
+def test_pose_spherical_shape():
+    p = pose_spherical(30.0, -45.0, 4.0)
+    assert p.shape == (4, 4)
+    np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 4.0, rtol=1e-5)

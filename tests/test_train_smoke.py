@@ -1,0 +1,98 @@
+"""End-to-end training smoke tests on the synthetic scene: loss falls, PSNR
+rises, and the multi-device (8 virtual CPU chips) sharded step executes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmnerf_tpu.config import default_config
+from dmnerf_tpu.data.synthetic import make_scene
+from dmnerf_tpu.models.fields import FieldConfig
+from dmnerf_tpu.parallel.mesh import make_mesh
+from dmnerf_tpu.train.step import create_train_state, make_train_step
+
+
+def tiny_args(**kw):
+    # deliberately tiny: the CI box has ONE cpu core; keep compiles/steps cheap
+    args = default_config(
+        N_train=128, N_samples=8, N_importance=8,
+        near=1.0, far=12.0, perturb=1.0,
+        penalize=True, tolerance=0.05, deta_w=0.05,
+        lrate=5e-3, lrate_decay=500, precision="f32",
+        netdepth=2, netwidth=32, multires=4, multires_views=2,
+    )
+    for k, v in kw.items():
+        setattr(args, k, v)
+    return args
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(H=24, W=24, n_train=6, n_test=2)
+
+
+def run_steps(args, scene, n_steps, mesh=None, sampler="full"):
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, args.lrate, args.lrate_decay)
+    step_fn = make_train_step(args, cfg, sampler=sampler, mesh=mesh)
+    arrs = scene.to_device_arrays(mesh)
+    rng = np.random.default_rng(0)
+    metrics_hist = []
+    for i in range(n_steps):
+        img_i = jnp.int32(rng.choice(scene.i_train))
+        key = jax.random.PRNGKey(i + 1)
+        state, metrics = step_fn(state, arrs, key, img_i)
+        metrics_hist.append(jax.tree_util.tree_map(float, metrics))
+    return state, metrics_hist
+
+
+def test_train_loss_decreases(scene):
+    args = tiny_args()
+    _, hist = run_steps(args, scene, 40)
+    first = np.mean([m["total_loss"] for m in hist[:10]])
+    last = np.mean([m["total_loss"] for m in hist[-10:]])
+    assert np.isfinite(last)
+    assert last < first, f"loss did not fall: {first} -> {last}"
+    psnr_first = np.mean([m["psnr_fine"] for m in hist[:10]])
+    psnr_last = np.mean([m["psnr_fine"] for m in hist[-10:]])
+    assert psnr_last > psnr_first
+
+
+def test_train_no_penalizer(scene):
+    args = tiny_args(penalize=False)
+    _, hist = run_steps(args, scene, 10)
+    assert np.isfinite(hist[-1]["total_loss"])
+
+
+def test_train_sharded_multichip(scene):
+    """Ray batch sharded over 8 virtual devices — same math, psum'd grads."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    args = tiny_args()
+    _, hist = run_steps(args, scene, 8, mesh=mesh)
+    assert np.isfinite(hist[-1]["total_loss"])
+
+
+def test_sharded_matches_single_device(scene):
+    """One step with and without mesh must agree (same rng)."""
+    args = tiny_args(perturb=0.0, penalize=True)
+    _, h1 = run_steps(args, scene, 3, mesh=None)
+    _, h8 = run_steps(args, scene, 3, mesh=make_mesh())
+    for a, b in zip(h1, h8):
+        np.testing.assert_allclose(a["total_loss"], b["total_loss"], rtol=2e-3)
+
+
+def test_crop_sampler_runs(scene):
+    """ScanNet-style 30% labeled sampling path."""
+    import dataclasses
+
+    args = tiny_args()
+    sc = dataclasses.replace(scene)
+    # synth: treat labels > 0 as "labeled", label 0 as unlabeled/air is not the
+    # scannet semantic, but exercises the sampler shapes
+    sc.ins_indices = [np.where(l.reshape(-1) > 0)[0] for l in sc.gt_labels]
+    sc.crop_mask = np.ones((sc.H, sc.W), np.int8)
+    _, hist = run_steps(args, sc, 5, sampler="crop")
+    assert np.isfinite(hist[-1]["total_loss"])
