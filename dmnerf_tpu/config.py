@@ -116,7 +116,9 @@ FLAG_SPECS: List[FlagSpec] = [
     FlagSpec("data_devices", int, 0, "0 = all local devices; else mesh size"),
     FlagSpec("resume", bool, False, "resume training from latest checkpoint", store_true=True),
     FlagSpec("use_pallas", bool, True, "use fused Pallas field kernel for eval render"),
-    FlagSpec("remat", bool, True, "rematerialize MLP activations in backward"),
+    FlagSpec("pallas_train", bool, False, "use fused Pallas fwd+bwd field kernel in training", store_true=True),
+    FlagSpec("remat", bool, False, "rematerialize MLP activations in backward "
+             "(profiled slower than storing bf16 activations at reference batch sizes)"),
     FlagSpec("lpips_weights", str, None, "path to LPIPS-VGG weights (.npz); metric gated if absent"),
     FlagSpec("mesh_grid_dim", int, 256, "marching-cubes grid resolution"),
     FlagSpec("mesh_extents", str, "1.9,7.0,7.0", "scene extents for meshing"),

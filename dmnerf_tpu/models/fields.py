@@ -115,11 +115,18 @@ def param_count(params: Params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 
 
-def _dot(x: jnp.ndarray, layer: Params, dtype) -> jnp.ndarray:
-    """Linear layer in compute dtype with fp32 accumulation on the MXU."""
+def _dot(x: jnp.ndarray, layer: Params, dtype, out_dtype=None) -> jnp.ndarray:
+    """Linear layer in compute dtype with fp32 accumulation on the MXU.
+
+    out_dtype controls the dtype of the STORED result: the step is HBM-bound on
+    inter-layer activations (measured: bf16 and f32 matmuls take the same wall
+    clock), so trunk activations are kept in the compute dtype to halve the
+    traffic; heads return fp32.
+    """
     y = jnp.dot(x.astype(dtype), layer["w"].astype(dtype),
                 preferred_element_type=jnp.float32)
-    return y + layer["b"]
+    y = y + layer["b"]
+    return y.astype(out_dtype) if out_dtype is not None else y
 
 
 def apply_field(params: Params, cfg: FieldConfig,
@@ -134,23 +141,24 @@ def apply_field(params: Params, cfg: FieldConfig,
     x = positional_encoding(pts, cfg.multires)
     d = positional_encoding(jnp.broadcast_to(viewdirs, pts.shape), cfg.multires_views)
 
-    h = x
+    h = x.astype(dt)
+    x_dt = h
     for i, layer in enumerate(params["trunk"]):
-        h = jax.nn.relu(_dot(h, layer, dt))
+        h = jax.nn.relu(_dot(h, layer, dt, out_dtype=dt))
         if i == cfg.skip:
-            h = jnp.concatenate([h, x], axis=-1)
+            h = jnp.concatenate([h, x_dt], axis=-1)
 
     density = _dot(h, params["density"], dt)
 
-    rgb_f = _dot(h, params["rgb_feat"], dt)
-    rgb_f = jnp.concatenate([rgb_f, d], axis=-1)
-    rgb_f = jax.nn.relu(_dot(rgb_f, params["rgb_hidden"], dt))
+    rgb_f = _dot(h, params["rgb_feat"], dt, out_dtype=dt)
+    rgb_f = jnp.concatenate([rgb_f, d.astype(dt)], axis=-1)
+    rgb_f = jax.nn.relu(_dot(rgb_f, params["rgb_hidden"], dt, out_dtype=dt))
     rgb = _dot(rgb_f, params["rgb_out"], dt)
 
     # instance branch reads the trunk through stop_gradient (dm_nerf.py:95)
     ins_f = jax.lax.stop_gradient(h)
-    ins_f = _dot(ins_f, params["ins_feat"], dt)
-    ins_f = jax.nn.relu(_dot(ins_f, params["ins_hidden"], dt))
+    ins_f = _dot(ins_f, params["ins_feat"], dt, out_dtype=dt)
+    ins_f = jax.nn.relu(_dot(ins_f, params["ins_hidden"], dt, out_dtype=dt))
     ins = _dot(ins_f, params["ins_out"], dt)
 
     return jnp.concatenate([rgb, density, ins], axis=-1).astype(jnp.float32)

@@ -50,6 +50,7 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
     rng = np.random.default_rng(args.seed)
     base_key = jax.random.PRNGKey(args.seed + 1)
 
+    render_chunk = None  # built lazily, reused across eval rounds (one compile)
     t_window = time.time()
     rays_done = 0
     for i in range(start, n_iters):
@@ -74,23 +75,24 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
             save_checkpoint(ldir, state, i)
 
         if eval_every and i > start and i % eval_every == 0:
-            _in_train_eval(args, cfg, state, scene, ldir, i, rng)
+            if render_chunk is None:
+                from dmnerf_tpu.eval.renderer import make_chunk_renderer
+                render_chunk = make_chunk_renderer(
+                    cfg, args.N_samples, args.N_importance, args.near, args.far,
+                    args.N_test, use_pallas=getattr(args, "use_pallas", False))
+            _in_train_eval(args, render_chunk, state, scene, ldir, i, rng)
 
     return state
 
 
-def _in_train_eval(args, cfg, state, scene, ldir, step, rng):
+def _in_train_eval(args, render_chunk, state, scene, ldir, step, rng):
     """10 random test views, full metrics table (train_dmsr.py:88-107)."""
-    from dmnerf_tpu.eval.renderer import make_chunk_renderer
     from dmnerf_tpu.eval.tester import render_test
 
     n = min(10, len(scene.i_test))
     sel = scene.i_test[rng.choice(len(scene.i_test), size=n, replace=False)]
     savedir = os.path.join(ldir, f"testset_{step:06d}")
     os.makedirs(savedir, exist_ok=True)
-    render_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
-                                       args.near, args.far, args.N_test,
-                                       use_pallas=getattr(args, "use_pallas", False))
     render_test(render_chunk, state.params, scene.poses[sel], scene.hwk, args,
                 gt_imgs=scene.images[sel], gt_labels=scene.gt_labels[sel],
                 ins_rgbs=scene.ins_rgbs, savedir=savedir,

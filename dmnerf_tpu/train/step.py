@@ -111,9 +111,16 @@ def make_train_step(args, cfg: FieldConfig, sampler: str = "full", mesh=None,
     n_ins = int(n_train * 0.3) if sampler == "crop" else None
     tx = make_optimizer(args.lrate, args.lrate_decay)
 
-    field = apply_field
-    if getattr(args, "remat", True):
+    if getattr(args, "pallas_train", False):
+        # fused fwd+bwd field kernel: no HBM activations, no remat needed
+        from dmnerf_tpu.ops.pallas.fused_field_train import \
+            make_trainable_pallas_field
+        _ptf = make_trainable_pallas_field(cfg)
+        field = lambda p, _cfg, pts, vd: _ptf(p, pts, vd)
+    elif getattr(args, "remat", True):
         field = jax.checkpoint(apply_field, static_argnums=(1,))
+    else:
+        field = apply_field
 
     def loss_fn(params, rays_o, rays_d, target_c, target_i, key):
         coarse_fn = lambda pts, vd: field(params["coarse"], cfg, pts, vd)

@@ -58,3 +58,46 @@ def load_color_dict(path: str, dataset_name: str, scene_name: str) -> Dict[str, 
     import json
     with open(path) as f:
         return json.load(f)[dataset_name][scene_name]
+
+
+def ins2img(ins_probs: np.ndarray, ins_rgbs: np.ndarray) -> np.ndarray:
+    """Argmax of an instance-probability map -> palette colors; label 0 black
+    (visualizer.py:7-19)."""
+    labels = np.argmax(np.asarray(ins_probs), axis=-1)
+
+    def get(lab):
+        return None if lab == 0 else ins_rgbs[lab]
+    return _map_labels(labels, ins_rgbs, get)
+
+
+def matching_label2img(pred_labels: np.ndarray, rgbs: np.ndarray) -> np.ndarray:
+    """Matched-label map -> colors; -1 black, -2 white (visualizer.py:38-54)."""
+    def get(lab):
+        if lab == -1:
+            return [0, 0, 0]
+        if lab == -2:
+            return [255, 255, 255]
+        return rgbs[lab]
+    return _map_labels(np.asarray(pred_labels), rgbs, get)
+
+
+def show_instance_rgb(ins_rgbs: np.ndarray, save_path: str):
+    """Palette contact sheet (visualizer.py:90-107)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(ins_rgbs)
+    y_ax = 4
+    x_ax = max((n + y_ax - 1) // y_ax, 1)
+    fig, ax = plt.subplots(x_ax, y_ax, figsize=(8, 8), squeeze=False)
+    for i in range(x_ax * y_ax):
+        a = ax[i // y_ax][i % y_ax]
+        a.axis("off")
+        if i < n:
+            rgb = ins_rgbs[i]
+            a.imshow(np.tile(np.asarray(rgb, np.uint8), (8, 8, 1)))
+            a.set_title(f"Label:{i}: [{rgb[0]},{rgb[1]},{rgb[2]}]",
+                        fontdict={"fontsize": 6})
+    fig.savefig(save_path)
+    plt.close(fig)
