@@ -71,7 +71,7 @@ def main(argv=None):
     params = state.params
     color_dict = _color_dict(args)
 
-    from dmnerf_tpu.eval.renderer import make_chunk_renderer
+    from dmnerf_tpu.eval.renderer import make_chunk_renderer, make_image_renderer
     render_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
                                        args.near, args.far, args.N_test,
                                        use_pallas=getattr(args, "use_pallas", True))
@@ -81,7 +81,9 @@ def main(argv=None):
         savedir = os.path.join(ldir, f"render_test_{iteration:06d}")
         os.makedirs(savedir, exist_ok=True)
         i_test = scene.i_test
-        render_test(render_chunk, params, scene.poses[i_test], scene.hwk, args,
+        render_im = make_image_renderer(cfg, args, scene.H, scene.W,
+                                        use_pallas=getattr(args, "use_pallas", True))
+        render_test(render_im, params, scene.poses[i_test], scene.hwk, args,
                     gt_imgs=scene.images[i_test], gt_labels=scene.gt_labels[i_test],
                     ins_rgbs=scene.ins_rgbs, savedir=savedir,
                     crop_mask=scene.crop_mask, color_dict=color_dict)

@@ -49,6 +49,48 @@ def make_chunk_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
     return render_chunk
 
 
+def make_batch_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
+                        near: float, far: float, chunk: int, n_rays: int,
+                        mesh=None, use_pallas: bool = False):
+    """Whole-ray-set renderer in ONE dispatch: lax.map over fixed-size chunks.
+
+    Per-chunk dispatch over the axon tunnel costs ~5 ms; a 640x480 image at
+    N_test=4096 is 75 chunks = ~0.4 s of pure dispatch. This compiles the chunk
+    loop into the program (sequential lax.map, so only one chunk's samples are
+    live at a time) and dispatches once per image. n_rays must be a multiple of
+    chunk (callers pad).
+    """
+    assert n_rays % chunk == 0
+
+    if use_pallas:
+        from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
+        field = make_pallas_field(cfg)
+    else:
+        field = lambda params, pts, vd: apply_field(params, cfg, pts, vd)
+
+    @jax.jit
+    def render_all(params, rays_o, rays_d):
+        if mesh is not None:
+            rays_o, rays_d = shard_batch((rays_o, rays_d), mesh)
+        coarse_fn = lambda pts, vd: field(params["coarse"], pts, vd)
+        fine_fn = lambda pts, vd: field(params["fine"], pts, vd)
+        z = z_val_sample(chunk, near, far, n_samples)
+
+        def one(chunk_rays):
+            ro, rd = chunk_rays
+            out = render_rays(coarse_fn, fine_fn, ro, rd, z, n_importance,
+                              key=None, perturb=False)
+            return out["rgb_fine"], out["ins_fine"], out["depth_fine"]
+
+        ro = rays_o.reshape(-1, chunk, 3)
+        rd = rays_d.reshape(-1, chunk, 3)
+        rgb, ins, depth = jax.lax.map(one, (ro, rd))
+        return (rgb.reshape(n_rays, 3), ins.reshape(n_rays, -1),
+                depth.reshape(n_rays))
+
+    return render_all
+
+
 def render_rays_chunked(render_chunk, params, rays_o: np.ndarray,
                         rays_d: np.ndarray, chunk: int):
     """Render an arbitrary ray list with the fixed-size chunk renderer."""
@@ -79,3 +121,30 @@ def render_image(render_chunk, params, H: int, W: int, K: np.ndarray,
     rays_d = np.asarray(rays_d).reshape(-1, 3)
     rgb, ins, depth = render_rays_chunked(render_chunk, params, rays_o, rays_d, chunk)
     return (rgb.reshape(H, W, 3), ins.reshape(H, W, -1), depth.reshape(H, W))
+
+
+def make_image_renderer(cfg: FieldConfig, args, H: int, W: int, mesh=None,
+                        use_pallas: bool = False):
+    """render_im(params, K, c2w) -> (rgb [H,W,3], ins [H,W,K], depth [H,W]),
+    one device dispatch per image."""
+    chunk = int(args.N_test)
+    n = H * W
+    n_pad = (-n) % chunk
+    render_all = make_batch_renderer(cfg, args.N_samples, args.N_importance,
+                                     args.near, args.far, chunk, n + n_pad,
+                                     mesh=mesh, use_pallas=use_pallas)
+
+    def render_im(params, K, c2w):
+        rays_o, rays_d = get_rays(H, W, jnp.asarray(K, jnp.float32),
+                                  jnp.asarray(c2w, jnp.float32))
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        if n_pad:
+            rays_o = jnp.concatenate([rays_o, rays_o[-n_pad:]], 0)
+            rays_d = jnp.concatenate([rays_d, rays_d[-n_pad:]], 0)
+        rgb, ins, depth = render_all(params, rays_o, rays_d)
+        rgb, ins, depth = np.asarray(rgb), np.asarray(ins), np.asarray(depth)
+        return (rgb[:n].reshape(H, W, 3), ins[:n].reshape(H, W, -1),
+                depth[:n].reshape(H, W))
+
+    return render_im

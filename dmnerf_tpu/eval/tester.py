@@ -38,11 +38,16 @@ def _maybe_lpips(args):
     return load_lpips(getattr(args, "lpips_weights", None))
 
 
-def render_test(render_chunk, params, render_poses, hwk, args,
+def render_test(render_im, params, render_poses, hwk, args,
                 gt_imgs=None, gt_labels=None, ins_rgbs=None,
                 savedir: Optional[str] = None, crop_mask=None,
                 color_dict: Optional[dict] = None):
-    """Returns (mean_psnr, mean_ssim, mean_lpips, mean_ap[6]) and writes artifacts."""
+    """Returns (mean_psnr, mean_ssim, mean_lpips, mean_ap[6]) and writes artifacts.
+
+    render_im: either an image renderer (params, K, c2w) -> (rgb, ins, depth)
+    from eval.renderer.make_image_renderer (preferred: single dispatch per
+    image), or a legacy chunk renderer (detected by arity at call time).
+    """
     H, W, K = hwk
     lpips_fn = _maybe_lpips(args)
     psnrs, ssims, lpipses, aps = [], [], [], []
@@ -57,7 +62,10 @@ def render_test(render_chunk, params, render_poses, hwk, args,
 
     for i, c2w in enumerate(np.asarray(render_poses)):
         t0 = time.time()
-        rgb, ins, _ = render_image(render_chunk, params, H, W, K, c2w, args.N_test)
+        try:
+            rgb, ins, _ = render_im(params, K, c2w)
+        except TypeError:  # legacy chunk renderer signature
+            rgb, ins, _ = render_image(render_im, params, H, W, K, c2w, args.N_test)
 
         gt_img = None if gt_imgs is None else np.asarray(gt_imgs[i])
         gt_label = None if gt_labels is None else np.asarray(gt_labels[i])

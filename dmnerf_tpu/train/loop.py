@@ -76,10 +76,10 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
 
         if eval_every and i > start and i % eval_every == 0:
             if render_chunk is None:
-                from dmnerf_tpu.eval.renderer import make_chunk_renderer
-                render_chunk = make_chunk_renderer(
-                    cfg, args.N_samples, args.N_importance, args.near, args.far,
-                    args.N_test, use_pallas=getattr(args, "use_pallas", False))
+                from dmnerf_tpu.eval.renderer import make_image_renderer
+                render_chunk = make_image_renderer(
+                    cfg, args, scene.H, scene.W,
+                    use_pallas=getattr(args, "use_pallas", False))
             _in_train_eval(args, render_chunk, state, scene, ldir, i, rng)
 
     return state

@@ -60,3 +60,26 @@ def test_render_image_padding():
     assert ins.shape == (10, 14, scene.ins_num)
     assert depth.shape == (10, 14)
     assert np.isfinite(rgb).all()
+
+
+def test_image_renderer_matches_chunked():
+    """Single-dispatch lax.map renderer == legacy per-chunk renderer."""
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+
+    scene = make_scene(H=10, W=12, n_train=1, n_test=1)
+    args = default_config(N_test=64, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4, multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(3), cfg)
+
+    render_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
+                                       args.near, args.far, args.N_test)
+    rgb1, ins1, d1 = render_image(render_chunk, state.params, 10, 12,
+                                  scene.K, scene.poses[0], args.N_test)
+    render_im = make_image_renderer(cfg, args, 10, 12)
+    rgb2, ins2, d2 = render_im(state.params, scene.K, scene.poses[0])
+    np.testing.assert_allclose(rgb1, rgb2, atol=1e-5)
+    np.testing.assert_allclose(ins1, ins2, atol=1e-5)
+    np.testing.assert_allclose(d1, d2, atol=1e-4)
