@@ -58,7 +58,8 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
 
     # searchsorted(cdf, u, right=True) == count of cdf entries <= u.
-    # [..., S, B] comparison; B<=65 so this is a small VPU reduction.
+    # [..., S, B] comparison; B<=65 so this is a small VPU reduction (measured
+    # faster than vmapped binary-search searchsorted on TPU).
     inds = jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1).astype(jnp.int32)
     B = cdf.shape[-1]
     below = jnp.maximum(0, inds - 1)

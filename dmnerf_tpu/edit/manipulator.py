@@ -161,3 +161,35 @@ def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int]):
                                 args.near, args.far)
 
     return run
+
+
+def make_image_manipulator(cfg, params, args, n_obj: int,
+                           move_labels: List[int], n_rays: int):
+    """Whole-image edit in ONE dispatch: lax.map over fixed-size chunks
+    (same dispatch-amortization as eval.renderer.make_batch_renderer).
+    n_rays must be a multiple of args.N_test."""
+    from dmnerf_tpu.models.fields import apply_field
+
+    chunk = int(args.N_test)
+    assert n_rays % chunk == 0
+    coarse_fn = lambda pts, vd: apply_field(params["coarse"], cfg, pts, vd)
+    fine_fn = lambda pts, vd: apply_field(params["fine"], cfg, pts, vd)
+
+    @jax.jit
+    def run_image(ori_o, ori_d, tar_os, tar_ds):
+        def one(c):
+            oo, od, tos, tds = c
+            tar_rays = [(tos[i], tds[i]) for i in range(n_obj)]
+            return manipulate_chunk(coarse_fn, fine_fn, (oo, od), tar_rays,
+                                    move_labels, args.N_samples,
+                                    args.N_importance, args.near, args.far)
+
+        nc = n_rays // chunk
+        parts = (ori_o.reshape(nc, chunk, 3), ori_d.reshape(nc, chunk, 3),
+                 tar_os.reshape(n_obj, nc, chunk, 3).transpose(1, 0, 2, 3),
+                 tar_ds.reshape(n_obj, nc, chunk, 3).transpose(1, 0, 2, 3))
+        rgb, ins, trgb, tins = jax.lax.map(one, parts)
+        return (rgb.reshape(n_rays, 3), ins.reshape(n_rays, -1),
+                trgb.reshape(n_rays, 3), tins.reshape(n_rays, -1))
+
+    return run_image

@@ -20,7 +20,7 @@ import numpy as np
 
 from dmnerf_tpu.core.rays import get_rays
 from dmnerf_tpu.edit.deform import deform_rays
-from dmnerf_tpu.edit.manipulator import make_manipulator
+from dmnerf_tpu.edit.manipulator import make_image_manipulator
 from dmnerf_tpu.eval.instance_ap import ins_eval
 from dmnerf_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
 from dmnerf_tpu.utils.viz import render_gt_label2img, render_label2img, to8b
@@ -33,8 +33,8 @@ def _full_rays(H, W, K, c2w):
     return np.asarray(ro).reshape(-1, 3), np.asarray(rd).reshape(-1, 3)
 
 
-def _run_edit_image(run_chunk, ori_o, ori_d, tar_os, tar_ds, chunk):
-    """Chunked edit over one image's rays. tar_os/tar_ds: [n_obj, H*W, 3]."""
+def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
+    """One-dispatch edit over one image's rays. tar_os/tar_ds: [n_obj, H*W, 3]."""
     n = ori_o.shape[0]
     n_pad = (-n) % chunk
 
@@ -48,17 +48,10 @@ def _run_edit_image(run_chunk, ori_o, ori_d, tar_os, tar_ds, chunk):
 
     ori_o, ori_d = pad(ori_o), pad(ori_d)
     tar_os, tar_ds = pad(tar_os, 1), pad(tar_ds, 1)
-    rgbs, inss, trgbs, tinss = [], [], [], []
-    for s in range(0, n + n_pad, chunk):
-        rgb, ins, trgb, tins = run_chunk(
-            jnp.asarray(ori_o[s:s + chunk]), jnp.asarray(ori_d[s:s + chunk]),
-            jnp.asarray(tar_os[:, s:s + chunk]), jnp.asarray(tar_ds[:, s:s + chunk]))
-        rgbs.append(np.asarray(rgb))
-        inss.append(np.asarray(ins))
-        trgbs.append(np.asarray(trgb))
-        tinss.append(np.asarray(tins))
-    cat = lambda xs: np.concatenate(xs, 0)[:n]
-    return cat(rgbs), cat(inss), cat(trgbs), cat(tinss)
+    rgb, ins, trgb, tins = run_image(jnp.asarray(ori_o), jnp.asarray(ori_d),
+                                     jnp.asarray(tar_os), jnp.asarray(tar_ds))
+    return (np.asarray(rgb)[:n], np.asarray(ins)[:n],
+            np.asarray(trgb)[:n], np.asarray(tins)[:n])
 
 
 def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgbs,
@@ -70,7 +63,9 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
     os.makedirs(save_dir, exist_ok=True)
 
     move_labels = [int(args.target_label)]
-    run_chunk = make_manipulator(cfg, params, args, n_obj=1, move_labels=move_labels)
+    n_rays = H * W + ((-H * W) % int(args.N_test))
+    run_chunk = make_image_manipulator(cfg, params, args, n_obj=1,
+                                       move_labels=move_labels, n_rays=n_rays)
     if color_dict is None:
         color_dict = {str(i): i for i in range(len(ins_rgbs))}
 
@@ -145,8 +140,9 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
         color_dict = {str(i): i for i in range(len(ins_rgbs))}
 
     move_labels = [int(o["tar_id"]) for o in objs]
-    run_chunk = make_manipulator(cfg, params, args, n_obj=len(objs),
-                                 move_labels=move_labels)
+    n_rays = H * W + ((-H * W) % int(args.N_test))
+    run_chunk = make_image_manipulator(cfg, params, args, n_obj=len(objs),
+                                       move_labels=move_labels, n_rays=n_rays)
 
     import imageio.v2 as imageio
     for i, ori_pose in enumerate(np.asarray(view_poses)):
