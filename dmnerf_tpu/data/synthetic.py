@@ -119,4 +119,15 @@ def make_scene(H: int = 40, W: int = 40, n_train: int = 8, n_test: int = 3,
 
 
 def load_data(args) -> SceneData:
+    """datadir may end in digits to pick resolution (e.g. .../boxroom64) and
+    optionally 'xN' for view count (.../boxroom64x16)."""
+    import re
+
+    name = args.datadir.rstrip("/").split("/")[-1]
+    m = re.search(r"(\d+)(?:x(\d+))?$", name)
+    if m:
+        res = int(m.group(1))
+        n_views = int(m.group(2)) if m.group(2) else 12
+        n_test = max(2, n_views // 4)
+        return make_scene(H=res, W=res, n_train=n_views - n_test, n_test=n_test)
     return make_scene()

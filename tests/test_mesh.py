@@ -92,3 +92,19 @@ def test_oriented_bounds_recovers_axis_box():
                                rtol=1e-6)
     grid, scale = grid_within_bound([-1, 1], extents, np.linalg.inv(to_origin), 8)
     assert grid.shape == (512, 3)
+
+
+def test_native_matches_numpy():
+    """C++ extension emits the same vertex/face set as the numpy fallback."""
+    from dmnerf_tpu import native
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    vol = _sphere_volume(20, 6.0)
+    v1, f1, n1 = marching_tetrahedra(vol, 0.0, use_native=True)
+    v2, f2, n2 = marching_tetrahedra(vol, 0.0, use_native=False)
+    assert len(v1) == len(v2) and len(f1) == len(f2)
+    sv1 = np.array(sorted(map(tuple, np.round(v1, 4))))
+    sv2 = np.array(sorted(map(tuple, np.round(v2, 4))))
+    np.testing.assert_allclose(sv1, sv2, atol=1e-3)
