@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from dmnerf_tpu.config import initial, log_dir
 from dmnerf_tpu.data.base import dataset_name_from_dir, load_dataset
 from dmnerf_tpu.models.fields import FieldConfig
@@ -23,7 +21,6 @@ import jax
 
 
 def _load_state(args, ldir):
-    args_ins = args.ins_num
     cfg = FieldConfig.from_args(args)
     template = create_train_state(jax.random.PRNGKey(0), cfg,
                                   args.lrate, args.lrate_decay)

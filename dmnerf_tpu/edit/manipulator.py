@@ -20,7 +20,6 @@ chains replicating the reference's in-place mutation order exactly.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence
 
 import jax

@@ -13,8 +13,6 @@ import os
 import subprocess
 import sys
 import sysconfig
-from typing import Optional
-
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _cached = {}
 

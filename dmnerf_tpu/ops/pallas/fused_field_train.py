@@ -25,8 +25,6 @@ Weight layout (matches fused_field._flatten_params):
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -179,7 +177,6 @@ def _bwd_kernel(cfg, pts_ref, dirs_ref, *refs):
 
 
 def _shapes(cfg: FieldConfig):
-    from dmnerf_tpu.models.fields import init_field_params
     # shape metadata without materializing params
     D, W = cfg.netdepth, cfg.netwidth
     pos, view = cfg.pos_ch, cfg.view_ch
