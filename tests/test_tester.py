@@ -83,3 +83,26 @@ def test_image_renderer_matches_chunked():
     np.testing.assert_allclose(rgb1, rgb2, atol=1e-5)
     np.testing.assert_allclose(ins1, ins2, atol=1e-5)
     np.testing.assert_allclose(d1, d2, atol=1e-4)
+
+
+def test_batch_renderer_sharded():
+    """Whole-image renderer with the ray axis sharded over 8 virtual devices."""
+    import jax as _jax
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+    from dmnerf_tpu.parallel.mesh import make_mesh
+
+    assert len(_jax.devices()) == 8
+    scene = make_scene(H=8, W=8, n_train=1, n_test=1)
+    args = default_config(N_test=64, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4, multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh()
+    render_im = make_image_renderer(cfg, args, 8, 8, mesh=mesh)
+    rgb_m, ins_m, _ = render_im(state.params, scene.K, scene.poses[0])
+    render_im1 = make_image_renderer(cfg, args, 8, 8)
+    rgb_1, ins_1, _ = render_im1(state.params, scene.K, scene.poses[0])
+    np.testing.assert_allclose(rgb_m, rgb_1, atol=1e-5)
+    np.testing.assert_allclose(ins_m, ins_1, atol=1e-5)
