@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dmnerf_tpu.models.fields import FieldConfig, field_output_dim
 
-TILE_P = 512
+TILE_P = 1024  # forward tiles are light on VMEM; bigger tiles amortize matmul overhead
 
 
 def _pe_block(x, multires: int):

@@ -35,8 +35,9 @@ from dmnerf_tpu.ops.pallas.fused_field import TILE_P, _pe_block
 
 F32 = jnp.float32
 # backward holds weights + fp32 weight-grad accumulators + all activations in
-# VMEM; 512-point tiles overflow the 16 MB budget by a hair, 256 fits
-TILE_BWD = 256
+# VMEM; with fp32 weight operands 512-point tiles overflow the 16 MB budget,
+# with bf16 weight operands (cast before the call) 512 fits
+TILE_BWD = 512
 
 
 def _pe_bwd(x, g_enc, multires: int):
@@ -220,6 +221,11 @@ def _fused_fwd(cfg, pts, dirs, *wb):
 
 def _fused_bwd(cfg, residuals, g):
     pts, dirs, wb = residuals
+    # weight OPERANDS go in as compute-dtype copies (halves their VMEM
+    # footprint, enabling the larger tile); the returned cotangents are fp32
+    # accumulators and are cast back to the fp32 primal dtype below
+    wb_in = tuple(
+        w.astype(cfg.compute_dtype) if w.ndim == 2 else w for w in wb)
     n = pts.shape[0]
     out_dim = field_output_dim(cfg)
     pt_spec = pl.BlockSpec((TILE_BWD, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -240,7 +246,7 @@ def _fused_bwd(cfg, residuals, g):
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=jax.default_backend() != "tpu",
-    )(pts, dirs, *wb, g)
+    )(pts, dirs, *wb_in, g)
     dpts, ddirs = outs[0], outs[1]
     dwb = tuple(d.astype(w.dtype) for d, w in zip(outs[2:], wb))  # fp32 == fp32
     return (dpts, ddirs) + dwb

@@ -19,3 +19,10 @@ def test_dryrun_multichip_8():
 
     assert len(jax.devices()) == 8
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_2_and_4():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(2)
+    ge.dryrun_multichip(4)
