@@ -71,7 +71,7 @@ def main(argv=None):
     from dmnerf_tpu.eval.renderer import make_chunk_renderer, make_image_renderer
     render_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
                                        args.near, args.far, args.N_test,
-                                       use_pallas=getattr(args, "use_pallas", True))
+                                       use_pallas=getattr(args, "use_pallas", False))
 
     if args.render:
         from dmnerf_tpu.eval.tester import render_test
@@ -79,7 +79,7 @@ def main(argv=None):
         os.makedirs(savedir, exist_ok=True)
         i_test = scene.i_test
         render_im = make_image_renderer(cfg, args, scene.H, scene.W,
-                                        use_pallas=getattr(args, "use_pallas", True))
+                                        use_pallas=getattr(args, "use_pallas", False))
         render_test(render_im, params, scene.poses[i_test], scene.hwk, args,
                     gt_imgs=scene.images[i_test], gt_labels=scene.gt_labels[i_test],
                     ins_rgbs=scene.ins_rgbs, savedir=savedir,

@@ -115,7 +115,7 @@ FLAG_SPECS: List[FlagSpec] = [
     FlagSpec("n_iters", int, 500000, "training iterations (reference: 500k)"),
     FlagSpec("data_devices", int, 0, "0 = all local devices; else mesh size"),
     FlagSpec("resume", bool, False, "resume training from latest checkpoint", store_true=True),
-    FlagSpec("use_pallas", bool, True, "use fused Pallas field kernel for eval render"),
+    FlagSpec("use_pallas", bool, False, "use fused Pallas field kernel for eval render (measured slower than XLA's streamed matmuls on this workload)", store_true=True),
     FlagSpec("pallas_train", bool, False, "use fused Pallas fwd+bwd field kernel in training", store_true=True),
     FlagSpec("remat", bool, False, "rematerialize MLP activations in backward "
              "(profiled slower than storing bf16 activations at reference batch sizes)"),
