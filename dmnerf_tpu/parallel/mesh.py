@@ -26,6 +26,36 @@ def make_mesh(n_devices: int = 0, axis_name: str = "data",
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_2d(data: int, model: int, devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data, model) mesh: rays shard over 'data', MLP feature dims over
+    'model' (tensor parallel). At DM-NeRF's ~1.2 M params TP is not a perf win
+    (params fit in a corner of VMEM) — the axis exists so the sharding story
+    and its collectives compile and are testable; the XLA partitioner inserts
+    the all-gathers/reduce-scatters."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= data * model, \
+        f"need {data * model} devices, have {len(devices)}"
+    arr = np.array(devices[:data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_params_model(params, mesh: Mesh):
+    """Constrain parameter leaves over the 'model' axis: 2-D kernels shard the
+    output-feature dim, 1-D biases shard outright; replicated over 'data'."""
+    m = mesh.shape["model"]
+
+    def cons(leaf):
+        if leaf.ndim == 2 and leaf.shape[1] % m == 0:
+            spec = P(None, "model")
+        elif leaf.ndim == 1 and leaf.shape[0] % m == 0:
+            spec = P("model")
+        else:
+            spec = P()  # tiny heads (e.g. density [W,1]) stay replicated
+        return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(cons, params)
+
+
 def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
     """Constrain leading axis of every leaf to be sharded over the mesh."""
     def cons(leaf):

@@ -122,7 +122,12 @@ def make_train_step(args, cfg: FieldConfig, sampler: str = "full", mesh=None,
     else:
         field = apply_field
 
+    model_parallel = mesh is not None and "model" in mesh.shape
+
     def loss_fn(params, rays_o, rays_d, target_c, target_i, key):
+        if model_parallel:
+            from dmnerf_tpu.parallel.mesh import shard_params_model
+            params = shard_params_model(params, mesh)
         coarse_fn = lambda pts, vd: field(params["coarse"], cfg, pts, vd)
         fine_fn = lambda pts, vd: field(params["fine"], cfg, pts, vd)
         z_coarse = z_val_sample(n_train, near, far, n_samples)

@@ -96,3 +96,15 @@ def test_crop_sampler_runs(scene):
     sc.crop_mask = np.ones((sc.H, sc.W), np.int8)
     _, hist = run_steps(args, sc, 5, sampler="crop")
     assert np.isfinite(hist[-1]["total_loss"])
+
+
+def test_train_2d_mesh_data_model(scene):
+    """2-D (data, model) mesh: rays DP + tensor-parallel params compile+run
+    and match the single-device step."""
+    from dmnerf_tpu.parallel.mesh import make_mesh_2d
+
+    args = tiny_args(perturb=0.0)
+    _, h1 = run_steps(args, scene, 2, mesh=None)
+    _, h2 = run_steps(args, scene, 2, mesh=make_mesh_2d(4, 2))
+    for a, b in zip(h1, h2):
+        np.testing.assert_allclose(a["total_loss"], b["total_loss"], rtol=2e-3)
