@@ -68,10 +68,7 @@ def main(argv=None):
     params = state.params
     color_dict = _color_dict(args)
 
-    from dmnerf_tpu.eval.renderer import make_chunk_renderer, make_image_renderer
-    render_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
-                                       args.near, args.far, args.N_test,
-                                       use_pallas=getattr(args, "use_pallas", False))
+    from dmnerf_tpu.eval.renderer import make_image_renderer
 
     if args.render:
         from dmnerf_tpu.eval.tester import render_test
@@ -116,7 +113,7 @@ def main(argv=None):
         savedir = os.path.join(ldir, f"mesh_{iteration:06d}")
         os.makedirs(savedir, exist_ok=True)
         ply_path = os.path.join(args.datadir, args.expname + ".ply")
-        extract_mesh(params, cfg, args, render_chunk,
+        extract_mesh(params, cfg, args,
                      ply_path if os.path.exists(ply_path) else None, savedir,
                      ins_rgbs=scene.ins_rgbs, color_dict=color_dict,
                      ins_map=scene.ins_map)

@@ -55,7 +55,7 @@ def make_density_fn(cfg: FieldConfig, chunk: int):
     return query
 
 
-def extract_mesh(params, cfg: FieldConfig, args, render_chunk,
+def extract_mesh(params, cfg: FieldConfig, args,
                  scene_ply_path: Optional[str], save_dir: str,
                  ins_rgbs=None, color_dict=None, ins_map=None):
     """Full pipeline. Returns (vertices, faces, labels)."""
@@ -113,8 +113,13 @@ def extract_mesh(params, cfg: FieldConfig, args, render_chunk,
     v_sw[:, 1] *= -1
     rays_o = v_sw - rays_d * 0.03 * args.near
 
-    from dmnerf_tpu.eval.renderer import render_rays_chunked
-    _, ins, _ = render_rays_chunked(render_chunk, params,
+    # vertex-coloring rays march from just behind the vertex: the reference
+    # uses FIXED near=0.01/far=15 here (mesh_generator.py:119), NOT the scene
+    # near/far — scene near would start the ray past the surface
+    from dmnerf_tpu.eval.renderer import make_chunk_renderer, render_rays_chunked
+    color_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
+                                      0.01, 15.0, args.N_test)
+    _, ins, _ = render_rays_chunked(color_chunk, params,
                                     rays_o.astype(np.float32),
                                     rays_d.astype(np.float32), args.N_test)
     labels = np.argmax(ins, axis=-1)

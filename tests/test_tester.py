@@ -106,3 +106,40 @@ def test_batch_renderer_sharded():
     rgb_1, ins_1, _ = render_im1(state.params, scene.K, scene.poses[0])
     np.testing.assert_allclose(rgb_m, rgb_1, atol=1e-5)
     np.testing.assert_allclose(ins_m, ins_1, atol=1e-5)
+
+
+def test_render_test_crop_path(tmp_path):
+    """ScanNet-style center-crop metrics path (tester.py:25-40,78-82):
+    render/gt cropped, out-of-crop pred masked, unlabeled=ins_num in gt."""
+    import os
+
+    scene = make_scene(H=16, W=16, n_train=1, n_test=2)
+    args = default_config(N_test=256, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4, multires_views=2,
+                          crop_width=12, crop_height=10)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    from dmnerf_tpu.data.scannet import crop_data
+    crop_mask = crop_data(16, 16, [12, 10])
+    # scannet-style labels: some unlabeled pixels marked ins_num
+    labels = scene.gt_labels.copy()
+    labels[:, ::5, ::3] = scene.ins_num
+
+    render_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
+                                       args.near, args.far, args.N_test)
+    sel = scene.i_test
+    out = render_test(render_chunk, state.params, scene.poses[sel], scene.hwk,
+                      args, gt_imgs=scene.images[sel], gt_labels=labels[sel],
+                      ins_rgbs=scene.ins_rgbs, savedir=str(tmp_path),
+                      crop_mask=crop_mask)
+    psnr, ssim, _, ap = out
+    assert np.isfinite(psnr) and np.isfinite(ssim)
+    table = np.loadtxt(os.path.join(tmp_path, "test_results.txt"))
+    assert table.shape == (3, 9)
+    # rendered png must be crop-sized
+    import imageio.v2 as imageio
+    img = imageio.imread(os.path.join(tmp_path, "000.png"))
+    assert img.shape[:2] == (10, 12)
