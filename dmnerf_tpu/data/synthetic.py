@@ -118,16 +118,42 @@ def make_scene(H: int = 40, W: int = 40, n_train: int = 8, n_test: int = 3,
     )
 
 
+def make_scene_crop(H=48, W=48, n_train=8, n_test=3):
+    """ScanNet-style variant: the room (label 0) becomes the UNLABELED class
+    (remapped to ins_num), objects relabel to 0..K-2, a center crop mask and
+    per-image labeled-pixel index lists are attached — exercises the
+    weakly-supervised 30%-labeled sampler and the masked eval path."""
+    sc = make_scene(H=H, W=W, n_train=n_train, n_test=n_test)
+    ins_num = INS_NUM - 1  # objects only; room -> unlabeled
+    labels = sc.gt_labels.astype(np.int32) - 1
+    labels[labels < 0] = ins_num
+    sc.gt_labels = labels
+    sc.ins_num = ins_num
+    sc.ins_rgbs = sc.ins_rgbs[1:]
+
+    from dmnerf_tpu.data.scannet import crop_data
+    sc.crop_mask = crop_data(H, W, [int(W * 0.8), int(H * 0.8)])
+    flat_mask = sc.crop_mask.reshape(-1)
+    sc.ins_indices = []
+    for lab in labels:
+        flat = lab.reshape(-1).copy()
+        flat[flat_mask == 0] = ins_num
+        sc.ins_indices.append(np.where(flat != ins_num)[0].astype(np.int32))
+    return sc
+
+
 def load_data(args) -> SceneData:
     """datadir may end in digits to pick resolution (e.g. .../boxroom64) and
-    optionally 'xN' for view count (.../boxroom64x16)."""
+    optionally 'xN' for view count (.../boxroom64x16); a name containing
+    'crop' selects the ScanNet-style weakly-supervised variant."""
     import re
 
     name = args.datadir.rstrip("/").split("/")[-1]
+    maker = make_scene_crop if "crop" in name else make_scene
     m = re.search(r"(\d+)(?:x(\d+))?$", name)
     if m:
         res = int(m.group(1))
         n_views = int(m.group(2)) if m.group(2) else 12
         n_test = max(2, n_views // 4)
-        return make_scene(H=res, W=res, n_train=n_views - n_test, n_test=n_test)
-    return make_scene()
+        return maker(H=res, W=res, n_train=n_views - n_test, n_test=n_test)
+    return maker()

@@ -143,3 +143,19 @@ def test_scannet_loader(tmp_path):
         flat = lab.reshape(-1)
         mask = scene.crop_mask.reshape(-1)
         assert all(flat[i] != 3 and mask[i] == 1 for i in li)
+
+
+def test_synthetic_crop_variant():
+    """ScanNet-style synthetic: unlabeled class = ins_num, crop mask + labeled
+    pixel indices attached."""
+    from dmnerf_tpu.data.base import load_dataset
+
+    args = default_config(datadir="./data/synthetic/boxroomcrop24x6")
+    sc = load_dataset(args)
+    assert sc.ins_num == 3
+    assert sc.gt_labels.max() == 3  # unlabeled marker
+    assert sc.crop_mask is not None and sc.ins_indices is not None
+    flat_mask = sc.crop_mask.reshape(-1)
+    for li, lab in zip(sc.ins_indices, sc.gt_labels):
+        flat = lab.reshape(-1)
+        assert all(flat[i] != 3 and flat_mask[i] == 1 for i in li[:50])
