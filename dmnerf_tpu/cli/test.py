@@ -53,6 +53,8 @@ def main(argv=None):
     from dmnerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     args = initial(argv)
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     args.is_train = False
     args.perturb = 0.0
 

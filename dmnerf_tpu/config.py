@@ -120,6 +120,9 @@ FLAG_SPECS: List[FlagSpec] = [
     FlagSpec("remat", bool, False, "rematerialize MLP activations in backward "
              "(profiled slower than storing bf16 activations at reference batch sizes)"),
     FlagSpec("lpips_weights", str, None, "path to LPIPS-VGG weights (.npz); metric gated if absent"),
+    FlagSpec("debug_nans", bool, False, "enable jax debug_nans (the reference keeps "
+             "torch's anomaly detector ALWAYS on, dm_nerf.py:5 — a perf bug; here it's opt-in)",
+             store_true=True),
     FlagSpec("mesh_grid_dim", int, 256, "marching-cubes grid resolution"),
     FlagSpec("mesh_extents", str, "1.9,7.0,7.0", "scene extents for meshing"),
     FlagSpec("mesh_level", float, 0.45, "marching-cubes iso level"),
