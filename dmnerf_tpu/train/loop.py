@@ -66,6 +66,13 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
             print(f"[TRAIN] Iter: {i} PSNR: {m['psnr_fine']:.4f} "
                   f"Total_Loss: {m['total_loss']:.5f} RGB_Loss: {m['rgb_loss']:.5f} "
                   f"Ins_Loss: {m['ins_loss']:.5f} rays/s: {rps:,.0f}")
+            # structured metrics stream (the reference's tensorboard flag is
+            # dead code, SURVEY.md §5; a JSONL is greppable and plottable)
+            with open(os.path.join(ldir, "metrics.jsonl"), "a") as f:
+                import json
+                json.dump({"step": i, "rays_per_sec": round(rps, 1),
+                           **{k: round(v, 6) for k, v in m.items()}}, f)
+                f.write("\n")
             if on_metrics:
                 on_metrics(i, m)
             t_window = time.time()
