@@ -20,15 +20,37 @@ from dmnerf_tpu.train.step import create_train_state
 import jax
 
 
+def _resolve_test_model(ldir: str, test_model: str):
+    """Translate a --test_model value to a checkpoint directory.
+
+    Accepts reference-style names ('200000.tar', config.py:58-59 /
+    test_dmsr.py:89), bare step numbers ('200000'), or our native
+    'ckpt_200000'. A requested-but-missing checkpoint is an ERROR (the
+    round-1 behavior of silently loading the latest instead hid typos).
+    '000000.tar' is the reference's flag default and means "unset".
+    """
+    if not test_model or test_model == "000000.tar":
+        return None
+    name = test_model
+    if name.endswith(".tar"):
+        name = name[:-len(".tar")]
+    if not name.startswith("ckpt_"):
+        if not name.isdigit():
+            raise ValueError(f"--test_model {test_model!r}: expected "
+                             "'NNNNNN(.tar)' or 'ckpt_NNNNNN'")
+        name = f"ckpt_{int(name):06d}"
+    cand = os.path.join(ldir, name)
+    if not os.path.isdir(cand):
+        raise FileNotFoundError(
+            f"--test_model {test_model!r}: checkpoint {cand} does not exist")
+    return cand
+
+
 def _load_state(args, ldir):
     cfg = FieldConfig.from_args(args)
     template = create_train_state(jax.random.PRNGKey(0), cfg,
                                   args.lrate, args.lrate_decay)
-    ckpt = None
-    if args.test_model and args.test_model not in ("000000.tar",):
-        cand = os.path.join(ldir, args.test_model)
-        if os.path.isdir(cand):
-            ckpt = cand
+    ckpt = _resolve_test_model(ldir, args.test_model)
     if ckpt is None:
         ckpt = latest_checkpoint(ldir)
     if ckpt is None:
@@ -70,6 +92,14 @@ def main(argv=None):
     params = state.params
     color_dict = _color_dict(args)
 
+    # multi-chip eval: shard the ray axis over all devices (SURVEY §5 —
+    # gathered image tiles ride ICI; params replicated)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from dmnerf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(0)
+        print(f"eval sharded over {mesh.devices.size} devices")
+
     from dmnerf_tpu.eval.renderer import make_image_renderer
 
     if args.render:
@@ -77,7 +107,7 @@ def main(argv=None):
         savedir = os.path.join(ldir, f"render_test_{iteration:06d}")
         os.makedirs(savedir, exist_ok=True)
         i_test = scene.i_test
-        render_im = make_image_renderer(cfg, args, scene.H, scene.W,
+        render_im = make_image_renderer(cfg, args, scene.H, scene.W, mesh=mesh,
                                         use_pallas=getattr(args, "use_pallas", False))
         render_test(render_im, params, scene.poses[i_test], scene.hwk, args,
                     gt_imgs=scene.images[i_test], gt_labels=scene.gt_labels[i_test],
@@ -94,7 +124,8 @@ def main(argv=None):
         os.makedirs(savedir, exist_ok=True)
         manipulator_eval(cfg, params, scene.poses, scene.hwk, trans_dicts, savedir,
                          scene.ins_rgbs, args, gt_rgbs=scene.images,
-                         gt_labels=scene.gt_labels, color_dict=color_dict)
+                         gt_labels=scene.gt_labels, color_dict=color_dict,
+                         mesh=mesh)
         print("Manipulating Done", savedir)
 
     elif args.mani_demo:
@@ -107,7 +138,7 @@ def main(argv=None):
         os.makedirs(savedir, exist_ok=True)
         manipulator_demo(cfg, params, scene.hwk, objs_trans, savedir,
                          scene.ins_rgbs, scene.objs, scene.view_poses,
-                         scene.ins_map, args, color_dict=color_dict)
+                         scene.ins_map, args, color_dict=color_dict, mesh=mesh)
         print("Manipulating Demo Done", savedir)
 
     elif args.mesh:

@@ -115,8 +115,10 @@ FLAG_SPECS: List[FlagSpec] = [
     FlagSpec("n_iters", int, 500000, "training iterations (reference: 500k)"),
     FlagSpec("data_devices", int, 0, "0 = all local devices; else mesh size"),
     FlagSpec("resume", bool, False, "resume training from latest checkpoint", store_true=True),
-    FlagSpec("use_pallas", bool, False, "use fused Pallas field kernel for eval render (measured slower than XLA's streamed matmuls on this workload)", store_true=True),
+    FlagSpec("use_pallas", bool, True, "use the fused Pallas field kernel on eval/render paths (measured 1.4x the XLA path on v5e; --use_pallas False for the XLA path)"),
     FlagSpec("pallas_train", bool, False, "use fused Pallas fwd+bwd field kernel in training", store_true=True),
+    FlagSpec("scan_steps", int, 0, "training steps per device dispatch (lax.scan); 0 = auto (largest divisor of the print/save/eval cadences <= 100)"),
+    FlagSpec("profile_steps", int, 0, "capture a jax.profiler trace of this many training dispatches into {logdir}/profile (0 = off)"),
     FlagSpec("remat", bool, False, "rematerialize MLP activations in backward "
              "(profiled slower than storing bf16 activations at reference batch sizes)"),
     FlagSpec("lpips_weights", str, None, "path to LPIPS-VGG weights (.npz); metric gated if absent"),

@@ -145,16 +145,33 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
     return rgb, ins, tar_rgb, tar_ins_accum
 
 
-def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int]):
-    """Jitted chunk editor with static chunk size args.N_test and n_obj."""
+def _field_fns(cfg, params, use_pallas: bool):
+    if use_pallas:
+        from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
+        f = make_pallas_field(cfg)
+        return (lambda pts, vd: f(params["coarse"], pts, vd),
+                lambda pts, vd: f(params["fine"], pts, vd))
     from dmnerf_tpu.models.fields import apply_field
+    return (lambda pts, vd: apply_field(params["coarse"], cfg, pts, vd),
+            lambda pts, vd: apply_field(params["fine"], cfg, pts, vd))
 
-    coarse_fn = lambda pts, vd: apply_field(params["coarse"], cfg, pts, vd)
-    fine_fn = lambda pts, vd: apply_field(params["fine"], cfg, pts, vd)
+
+def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int],
+                     mesh=None, use_pallas: bool = False):
+    """Jitted chunk editor with static chunk size args.N_test and n_obj.
+    Under a device mesh the (original + per-object target) ray chunks shard
+    over the 'data' axis — the edit is embarrassingly ray-parallel."""
+    coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas)
 
     @jax.jit
     def run(ori_o, ori_d, tar_os, tar_ds):
-        tar_rays = [(tar_os[i], tar_ds[i]) for i in range(n_obj)]
+        if mesh is not None:
+            from dmnerf_tpu.parallel.mesh import shard_batch
+            ori_o, ori_d = shard_batch((ori_o, ori_d), mesh)
+            tar_rays = [shard_batch((tar_os[i], tar_ds[i]), mesh)
+                        for i in range(n_obj)]
+        else:
+            tar_rays = [(tar_os[i], tar_ds[i]) for i in range(n_obj)]
         return manipulate_chunk(coarse_fn, fine_fn, (ori_o, ori_d), tar_rays,
                                 move_labels, args.N_samples, args.N_importance,
                                 args.near, args.far)
@@ -163,22 +180,26 @@ def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int]):
 
 
 def make_image_manipulator(cfg, params, args, n_obj: int,
-                           move_labels: List[int], n_rays: int):
+                           move_labels: List[int], n_rays: int,
+                           mesh=None, use_pallas: bool = False):
     """Whole-image edit in ONE dispatch: lax.map over fixed-size chunks
     (same dispatch-amortization as eval.renderer.make_batch_renderer).
     n_rays must be a multiple of args.N_test."""
-    from dmnerf_tpu.models.fields import apply_field
-
     chunk = int(args.N_test)
     assert n_rays % chunk == 0
-    coarse_fn = lambda pts, vd: apply_field(params["coarse"], cfg, pts, vd)
-    fine_fn = lambda pts, vd: apply_field(params["fine"], cfg, pts, vd)
+    coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas)
 
     @jax.jit
     def run_image(ori_o, ori_d, tar_os, tar_ds):
         def one(c):
             oo, od, tos, tds = c
-            tar_rays = [(tos[i], tds[i]) for i in range(n_obj)]
+            if mesh is not None:
+                from dmnerf_tpu.parallel.mesh import shard_batch
+                oo, od = shard_batch((oo, od), mesh)
+                tar_rays = [shard_batch((tos[i], tds[i]), mesh)
+                            for i in range(n_obj)]
+            else:
+                tar_rays = [(tos[i], tds[i]) for i in range(n_obj)]
             return manipulate_chunk(coarse_fn, fine_fn, (oo, od), tar_rays,
                                     move_labels, args.N_samples,
                                     args.N_importance, args.near, args.far)

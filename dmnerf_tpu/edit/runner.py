@@ -55,7 +55,8 @@ def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
 
 
 def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgbs,
-                     args, gt_rgbs=None, gt_labels=None, color_dict=None):
+                     args, gt_rgbs=None, gt_labels=None, color_dict=None,
+                     mesh=None):
     H, W, K = hwk
     trans_dict = trans_dicts["transformations"][0]
     trans = np.array(trans_dict["transformation"], np.float64)
@@ -65,7 +66,9 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
     move_labels = [int(args.target_label)]
     n_rays = H * W + ((-H * W) % int(args.N_test))
     run_chunk = make_image_manipulator(cfg, params, args, n_obj=1,
-                                       move_labels=move_labels, n_rays=n_rays)
+                                       move_labels=move_labels, n_rays=n_rays,
+                                       mesh=mesh,
+                                       use_pallas=getattr(args, "use_pallas", False))
     if color_dict is None:
         color_dict = {str(i): i for i in range(len(ins_rgbs))}
 
@@ -132,7 +135,7 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
 
 
 def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
-                     view_poses, ins_map, args, color_dict=None):
+                     view_poses, ins_map, args, color_dict=None, mesh=None):
     H, W, K = hwk
     save_dir = os.path.join(save_dir, args.mani_type)
     os.makedirs(save_dir, exist_ok=True)
@@ -142,7 +145,9 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
     move_labels = [int(o["tar_id"]) for o in objs]
     n_rays = H * W + ((-H * W) % int(args.N_test))
     run_chunk = make_image_manipulator(cfg, params, args, n_obj=len(objs),
-                                       move_labels=move_labels, n_rays=n_rays)
+                                       move_labels=move_labels, n_rays=n_rays,
+                                       mesh=mesh,
+                                       use_pallas=getattr(args, "use_pallas", False))
 
     import imageio.v2 as imageio
     for i, ori_pose in enumerate(np.asarray(view_poses)):

@@ -119,6 +119,11 @@ def ins_eval(pred_ins: np.ndarray, gt_label: np.ndarray, ins_num: int,
     if mask is not None:
         valid_gt_labels = valid_gt_labels[valid_gt_labels != ins_num]
     gt_num = len(valid_gt_labels)
+    if gt_num == 0:
+        # reference fallback for a view with zero labeled GT instances
+        # (tester.py:106-118): pred_label = -1 everywhere, AP = 1.0
+        return (-np.ones_like(gt_label), [1.0] * len(THRESHOLDS),
+                np.zeros((0,), np.int64))
     N = gt_label.size
     gt_oh = np.zeros((N, ins_num), np.float32)
     for slot, lab in enumerate(valid_gt_labels):

@@ -1,7 +1,15 @@
 """Training loop: mirrors the reference's 500k-iteration loop
 (/root/reference/train_dmsr.py:17-107) with TPU-native improvements:
-- everything per-step happens inside one jit (no host sync except logging),
-- orbax checkpoints every i_save with RESUME support (the reference cannot resume),
+- K full steps per dispatch (lax.scan inside one jit): the axon/PCIe dispatch
+  latency (~5 ms/program) amortizes to ~0, and the device never idles between
+  steps,
+- ALL per-step randomness (image pick, pixel pick, perturb, pdf) derives
+  in-graph from fold_in(base_key, step): training is a pure function of
+  (init, seed, step) and an interrupted+resumed run replays the exact same
+  sequence as an uninterrupted one (tests/test_resume.py),
+- orbax checkpoints every i_save with RESUME (the reference cannot resume);
+  a checkpoint named ckpt_N holds the state after exactly N completed steps,
+  so resume never re-executes a step,
 - periodic in-training eval of 10 random test views every i_test,
 - rays/sec throughput counters (the BASELINE.md north-star metric).
 """
@@ -10,6 +18,7 @@ from __future__ import annotations
 
 import os
 import time
+from math import gcd
 
 import jax
 import jax.numpy as jnp
@@ -20,11 +29,19 @@ from dmnerf_tpu.data.base import SceneData
 from dmnerf_tpu.models.fields import FieldConfig
 from dmnerf_tpu.train.checkpoint import (checkpoint_step, latest_checkpoint,
                                          restore_checkpoint, save_checkpoint)
-from dmnerf_tpu.train.step import create_train_state, make_train_step
+from dmnerf_tpu.train.step import create_train_state, make_train_scan_step
+
+
+def _scan_stride(args, n_iters: int, eval_every: int) -> int:
+    """Largest stride <= 100 that lands exactly on every print/save/eval step."""
+    k = gcd(int(args.i_print), int(args.i_save))
+    if eval_every:
+        k = gcd(k, int(eval_every))
+    return max(1, min(k, 100))
 
 
 def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
-          eval_every=None, on_metrics=None):
+          eval_every=None, on_metrics=None, scan_steps=None):
     """Run training. Returns the final TrainState."""
     args.ins_num = scene.ins_num
     cfg = FieldConfig.from_args(args)
@@ -39,63 +56,97 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
         ckpt = latest_checkpoint(ldir)
         if ckpt:
             state = restore_checkpoint(ckpt, state)
-            start = checkpoint_step(ckpt)
+            start = checkpoint_step(ckpt)  # = completed steps; nothing re-runs
             print(f"resumed from {ckpt} @ step {start}")
-
-    step_fn = make_train_step(args, cfg, sampler=sampler, mesh=mesh)
-    arrs = scene.to_device_arrays(mesh)
 
     n_iters = n_iters if n_iters is not None else int(getattr(args, "n_iters", 500000)) + 1
     eval_every = eval_every if eval_every is not None else args.i_test
-    rng = np.random.default_rng(args.seed)
+    k = (scan_steps or int(getattr(args, "scan_steps", 0) or 0)
+         or _scan_stride(args, n_iters, eval_every))
+    step_k = make_train_scan_step(args, cfg, sampler=sampler, mesh=mesh,
+                                  scan_steps=k)
+    step_tail = None  # compiled lazily for the (n_iters - start) % k remainder
+    arrs = scene.to_device_arrays(mesh)
+    i_train = jnp.asarray(np.asarray(scene.i_train), jnp.int32)
     base_key = jax.random.PRNGKey(args.seed + 1)
+
+    # --profile_steps N: capture a jax.profiler trace of N steady-state
+    # dispatches (skips the first, which includes compilation) into
+    # {logdir}/profile — open with tensorboard/perfetto (SURVEY §5: the
+    # reference has no tracing at all)
+    profile_steps = int(getattr(args, "profile_steps", 0) or 0)
+    profiling = False
+    dispatch_i = 0
 
     render_chunk = None  # built lazily, reused across eval rounds (one compile)
     t_window = time.time()
     rays_done = 0
-    for i in range(start, n_iters):
-        img_i = jnp.int32(rng.choice(scene.i_train))
-        key = jax.random.fold_in(base_key, i)
-        state, metrics = step_fn(state, arrs, key, img_i)
-        rays_done += args.N_train
+    done = start
+    while done < n_iters:
+        if profile_steps and dispatch_i == 1 and not profiling:
+            # skip dispatch 0 (includes compilation); trace steady state
+            jax.profiler.start_trace(os.path.join(ldir, "profile"))
+            profiling = True
+        if done + k <= n_iters:
+            state, metrics = step_k(state, arrs, base_key, i_train)
+            ran = k
+        else:
+            if step_tail is None:
+                step_tail = make_train_scan_step(
+                    args, cfg, sampler=sampler, mesh=mesh,
+                    scan_steps=n_iters - done)
+            ran = n_iters - done
+            state, metrics = step_tail(state, arrs, base_key, i_train)
+        done += ran
+        dispatch_i += 1
+        if profiling and (dispatch_i > profile_steps or done >= n_iters):
+            jax.block_until_ready(metrics["total_loss"])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {os.path.join(ldir, 'profile')}")
+            profiling = False
+            profile_steps = 0
+        rays_done += args.N_train * ran
 
-        if i % args.i_print == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+        if done % args.i_print == 0 or done == n_iters:
+            m = {k_: float(v) for k_, v in metrics.items()}
             dt = time.time() - t_window
             rps = rays_done / dt if dt > 0 else 0.0
-            print(f"[TRAIN] Iter: {i} PSNR: {m['psnr_fine']:.4f} "
+            print(f"[TRAIN] Iter: {done} PSNR: {m['psnr_fine']:.4f} "
                   f"Total_Loss: {m['total_loss']:.5f} RGB_Loss: {m['rgb_loss']:.5f} "
                   f"Ins_Loss: {m['ins_loss']:.5f} rays/s: {rps:,.0f}")
             # structured metrics stream (the reference's tensorboard flag is
             # dead code, SURVEY.md §5; a JSONL is greppable and plottable)
             with open(os.path.join(ldir, "metrics.jsonl"), "a") as f:
                 import json
-                json.dump({"step": i, "rays_per_sec": round(rps, 1),
-                           **{k: round(v, 6) for k, v in m.items()}}, f)
+                json.dump({"step": done, "rays_per_sec": round(rps, 1),
+                           **{k_: round(v, 6) for k_, v in m.items()}}, f)
                 f.write("\n")
             if on_metrics:
-                on_metrics(i, m)
+                on_metrics(done, m)
             t_window = time.time()
             rays_done = 0
 
-        if i > start and i % args.i_save == 0:
-            save_checkpoint(ldir, state, i)
+        if done % args.i_save == 0:
+            save_checkpoint(ldir, state, done)
 
-        if eval_every and i > start and i % eval_every == 0:
+        if eval_every and done % eval_every == 0 and done < n_iters:
             if render_chunk is None:
                 from dmnerf_tpu.eval.renderer import make_image_renderer
                 render_chunk = make_image_renderer(
-                    cfg, args, scene.H, scene.W,
+                    cfg, args, scene.H, scene.W, mesh=mesh,
                     use_pallas=getattr(args, "use_pallas", False))
-            _in_train_eval(args, render_chunk, state, scene, ldir, i, rng)
+            _in_train_eval(args, render_chunk, state, scene, ldir, done)
 
     return state
 
 
-def _in_train_eval(args, render_chunk, state, scene, ldir, step, rng):
-    """10 random test views, full metrics table (train_dmsr.py:88-107)."""
+def _in_train_eval(args, render_chunk, state, scene, ldir, step):
+    """10 random test views, full metrics table (train_dmsr.py:88-107).
+    View choice is a pure function of (seed, step) so a resumed run evaluates
+    the same views an uninterrupted run would."""
     from dmnerf_tpu.eval.tester import render_test
 
+    rng = np.random.default_rng([args.seed, step])
     n = min(10, len(scene.i_test))
     sel = scene.i_test[rng.choice(len(scene.i_test), size=n, replace=False)]
     savedir = os.path.join(ldir, f"testset_{step:06d}")

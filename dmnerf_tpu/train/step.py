@@ -12,12 +12,11 @@ TPU-native dataflow:
 Pixel samplers:
 - "full": uniform N_train pixels of one image (helpers.py:99-111).
 - "crop" (ScanNet): 30% labeled-instance pixels, rest uniform within the center
-  crop, labeled rays stacked LAST so the loss slices ins_map[-N_ins:]
-  (helpers.py:64-95, render.py:88-90). Deviation from reference: when an image
-  has fewer labeled pixels than N_ins we sample labeled pixels with replacement
-  instead of shrinking N_ins (static shapes under jit); and the unlabeled pool is
-  the whole crop (overlap with the 30% labeled picks is possible but measure-zero
-  at real resolutions).
+  crop EXCLUDING the labeled picks, labeled rays stacked LAST so the loss
+  slices ins_map[-N_ins:] (helpers.py:64-95, render.py:88-90). Deviation from
+  reference: when an image has fewer labeled pixels than N_ins we sample
+  labeled pixels with replacement instead of shrinking N_ins (static shapes
+  under jit).
 """
 
 from __future__ import annotations
@@ -74,7 +73,7 @@ def _select_pixels_full(key, H, W, n_train):
     return jax.random.choice(key, H * W, (n_train,), replace=False)
 
 
-def _select_pixels_crop(key, scene: SceneArrays, img_i, n_train, n_ins):
+def _select_pixels_crop(key, scene: SceneArrays, img_i, n_train, n_ins, n_pix):
     k_lab, k_unlab = jax.random.split(key)
     max_lab = scene.labeled_idx.shape[1]
     cnt = scene.labeled_cnt[img_i]
@@ -87,9 +86,17 @@ def _select_pixels_crop(key, scene: SceneArrays, img_i, n_train, n_ins):
                     order[jnp.arange(n_ins) % jnp.maximum(cnt, 1)])
     lab_pix = scene.labeled_idx[img_i][sel]
 
+    # unlabeled pool = crop \ selected-labeled (helpers.py:81-84 intent; the
+    # reference then indexes crop_indices with positions drawn over the SHRUNK
+    # range — a latent indexing slip — so "exact" here means the intended
+    # exclusion, static-shape: scatter the picks into a dense flag, gather it
+    # along the crop, exclude via key penalty, take the n_rgb smallest keys)
     n_rgb = n_train - n_ins
-    unlab_sel = jax.random.choice(k_unlab, scene.crop_idx.shape[0], (n_rgb,), replace=False)
-    unlab_pix = scene.crop_idx[unlab_sel]
+    flag = jnp.zeros((n_pix,), jnp.float32).at[lab_pix].set(1.0)
+    keys = jax.random.uniform(k_unlab, (scene.crop_idx.shape[0],))
+    keys = keys + flag[scene.crop_idx] * 1e9
+    _, pos = jax.lax.top_k(-keys, n_rgb)
+    unlab_pix = scene.crop_idx[pos]
     return jnp.concatenate([unlab_pix, lab_pix]), lab_pix  # labeled LAST
 
 
@@ -167,13 +174,13 @@ def make_train_step(args, cfg: FieldConfig, sampler: str = "full", mesh=None,
         }
         return total, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state: TrainState, scene: SceneArrays, key: jax.Array, img_i):
+    def _step_core(state: TrainState, scene: SceneArrays, key: jax.Array, img_i):
         H, W = scene.images.shape[1:3]
         k_pix, k_ren = jax.random.split(key)
 
         if sampler == "crop":
-            pix, lab_pix = _select_pixels_crop(k_pix, scene, img_i, n_train, n_ins)
+            pix, lab_pix = _select_pixels_crop(k_pix, scene, img_i, n_train,
+                                               n_ins, H * W)
             target_i = scene.labels[img_i].reshape(-1)[lab_pix]
         else:
             pix = _select_pixels_full(k_pix, H, W, n_train)
@@ -193,4 +200,45 @@ def make_train_step(args, cfg: FieldConfig, sampler: str = "full", mesh=None,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, scene: SceneArrays, key: jax.Array, img_i):
+        return _step_core(state, scene, key, img_i)
+
+    step_fn.core = _step_core
     return step_fn
+
+
+def make_train_scan_step(args, cfg: FieldConfig, sampler: str = "full", mesh=None,
+                         axis_name: str = "data", scan_steps: int = 1):
+    """Build a jitted multi-step train function: `scan_steps` full training steps
+    per dispatch via lax.scan.
+
+    TPU rationale: the axon tunnel costs ~5 ms of dispatch latency per program —
+    ~10% of a 55 ms step, and proportionally more as the step gets faster.
+    Scanning K steps inside one jit amortizes that to ~0 and keeps the device
+    busy between host visits.
+
+    All per-step randomness (image choice, pixel choice, perturb, pdf) is derived
+    in-graph as fold_in(base_key, state.step), so training is a pure function of
+    (params0, base_key, step): an interrupted+resumed run replays the SAME image
+    and pixel sequence as an uninterrupted one (the reference's host-RNG sequence
+    has no such property, train_dmsr.py:25).
+
+    Returns scan_fn(state, scene, base_key, i_train) -> (state, metrics of the
+    last inner step). i_train: int32 device array of training image indices.
+    """
+    core = make_train_step(args, cfg, sampler=sampler, mesh=mesh,
+                           axis_name=axis_name).core
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_fn(state: TrainState, scene: SceneArrays, base_key: jax.Array,
+                i_train: jnp.ndarray):
+        def body(st, _):
+            key = jax.random.fold_in(base_key, st.step)
+            k_img, k_step = jax.random.split(key)
+            idx = jax.random.randint(k_img, (), 0, i_train.shape[0])
+            return core(st, scene, k_step, i_train[idx])
+        state, ms = jax.lax.scan(body, state, None, length=scan_steps)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return scan_fn

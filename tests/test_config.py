@@ -62,3 +62,26 @@ def test_default_config_overrides():
     cfg = default_config(N_train=99, penalize=True)
     assert cfg.N_train == 99 and cfg.penalize is True
     assert cfg.netdepth == 8 and cfg.netwidth == 256
+
+
+def test_resolve_test_model(tmp_path):
+    """--test_model accepts reference-style 'NNNNNN.tar' names and ERRORS on a
+    missing requested checkpoint instead of silently loading the latest
+    (reference selection: test_dmsr.py:89, config.py:58-59)."""
+    import os
+    import pytest
+    from dmnerf_tpu.cli.test import _resolve_test_model
+
+    ldir = str(tmp_path)
+    os.makedirs(os.path.join(ldir, "ckpt_200000"))
+
+    for name in ("200000.tar", "200000", "ckpt_200000"):
+        assert _resolve_test_model(ldir, name).endswith("ckpt_200000")
+    # unset / reference default -> None (caller falls back to latest)
+    assert _resolve_test_model(ldir, None) is None
+    assert _resolve_test_model(ldir, "000000.tar") is None
+    # requested but missing -> hard error
+    with pytest.raises(FileNotFoundError):
+        _resolve_test_model(ldir, "100000.tar")
+    with pytest.raises(ValueError):
+        _resolve_test_model(ldir, "not_a_step")

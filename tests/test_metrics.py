@@ -100,3 +100,19 @@ def test_ins_eval_with_mask():
         pred[gt == lab, lab] = 0.99
     _, ap, _ = ins_eval(pred, gt_masked, ins_num, mask=mask)
     assert all(a > 0.0 for a in ap[:1])
+
+
+def test_ins_eval_zero_gt_instances():
+    """A view with no labeled GT instances returns the reference fallback
+    (tester.py:106-118): pred_label=-1, AP=1.0 — no divide-by-zero."""
+    import numpy as np
+    from dmnerf_tpu.eval.instance_ap import ins_eval
+
+    K = 4
+    pred_ins = np.random.default_rng(0).uniform(size=(8, 8, K)).astype(np.float32)
+    gt = np.full((8, 8), K, np.int64)       # everything "air"/unlabeled
+    mask = np.ones((8, 8), np.int64)
+    pred_label, ap, matched = ins_eval(pred_ins, gt, K, mask=mask)
+    assert np.all(pred_label == -1)
+    assert np.allclose(ap, 1.0)
+    assert matched.size == 0

@@ -108,3 +108,33 @@ def test_train_2d_mesh_data_model(scene):
     _, h2 = run_steps(args, scene, 2, mesh=make_mesh_2d(4, 2))
     for a, b in zip(h1, h2):
         np.testing.assert_allclose(a["total_loss"], b["total_loss"], rtol=2e-3)
+
+
+def test_crop_sampler_excludes_labeled_from_unlabeled_pool(scene):
+    """helpers.py:81-84 intent: the unlabeled picks never collide with the
+    labeled picks (round-1 sampled unlabeled from the whole crop)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dmnerf_tpu.train.step import SceneArrays, _select_pixels_crop
+
+    H = W = 24
+    n_pix = H * W
+    rng = np.random.default_rng(0)
+    labeled = rng.choice(n_pix, size=50, replace=False)
+    crop = np.arange(n_pix)  # crop = full image, so exclusion is the only guard
+    arrs = SceneArrays(
+        images=jnp.zeros((1, H, W, 3)), labels=jnp.zeros((1, H, W), jnp.int32),
+        poses=jnp.eye(4)[None], K=jnp.eye(3),
+        labeled_idx=jnp.asarray(labeled)[None], labeled_cnt=jnp.asarray([50]),
+        crop_idx=jnp.asarray(crop))
+    n_train, n_ins = 128, 38
+    for seed in range(3):
+        pix, lab_pix = jax.jit(
+            lambda k: _select_pixels_crop(k, arrs, jnp.int32(0), n_train,
+                                          n_ins, n_pix))(jax.random.PRNGKey(seed))
+        pix, lab_pix = np.asarray(pix), np.asarray(lab_pix)
+        unlab = pix[:n_train - n_ins]
+        assert np.all(pix[-n_ins:] == lab_pix)
+        assert not set(unlab.tolist()) & set(lab_pix.tolist())
+        assert len(set(unlab.tolist())) == len(unlab)  # no replacement
