@@ -1,35 +1,46 @@
-"""Benchmark: train-step throughput (rays/sec/chip) on the reference workload.
+"""Benchmark: train + render throughput on the reference workload.
 
-Workload matches the reference's shipped configs (BASELINE.md): 3072 rays/step,
-64 coarse + 128 importance samples, two 8x256 MLPs (PE 10/4), Hungarian-matched
-instance loss + emptiness penalizer — i.e. the full hot loop of
-/root/reference/train_dmsr.py:24-64, here as one jitted TPU step.
+Train workload matches the reference's shipped configs (BASELINE.md): 3072
+rays/step, 64 coarse + 128 importance samples, two 8x256 MLPs (PE 10/4),
+Hungarian-matched instance loss + emptiness penalizer — the full hot loop of
+/root/reference/train_dmsr.py:24-64 — run as lax.scan'd multi-step dispatches
+(the deployed training path). Render workload: full-image eval renders
+(tester.py:55-77 equivalent) at N_test=4096 chunks.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline: the reference publishes no throughput (SURVEY.md §6). We estimate
-the reference PyTorch single-GPU rate at 15,000 rays/s (≈5 it/s x 3072 rays on
-a cu111-era GPU; consistent with ~786k point-MLP evals/step) and report
-value / 15000.
+Timing: state feeds back between dispatches (the axon relay memoizes identical
+dispatches, and 50 steps ride inside each jit), so wall-clock is honest.
+
+Prints ONE JSON line with the required keys {metric, value, unit, vs_baseline}
+plus a roofline breakdown: ms/step, achieved model TFLOP/s, MFU vs the 197
+TF/s v5e bf16 peak, and render-path rays/s. vs_baseline: the reference
+publishes no throughput (SURVEY.md §6); we estimate its cu111-era single-GPU
+rate at 15,000 rays/s (~5 it/s x 3072 rays) and report value / 15000.
 """
 
 import json
 import time
 
 ASSUMED_REFERENCE_RAYS_PER_SEC = 15_000.0
+V5E_BF16_PEAK = 197e12
 
 
-def main():
-    import jax
+def _train_flops_per_step(n_train, n_samples, n_importance, params_per_field):
+    """Model FLOPs (fwd + 2x bwd) of both field evaluations per train step."""
+    pts = n_train * (n_samples + (n_samples + n_importance))
+    return 3 * 2 * params_per_field * pts
 
+
+def main(scan_steps: int = 50, pallas_train: bool = True):
     from dmnerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from dmnerf_tpu.config import default_config
     from dmnerf_tpu.data.synthetic import make_scene
-    from dmnerf_tpu.models.fields import FieldConfig
-    from dmnerf_tpu.train.step import create_train_state, make_train_step
+    from dmnerf_tpu.models.fields import FieldConfig, param_count, init_field_params
+    from dmnerf_tpu.train.step import create_train_state, make_train_scan_step
 
     args = default_config(
         N_train=3072, N_samples=64, N_importance=128,
@@ -37,39 +48,72 @@ def main():
         penalize=True, tolerance=0.05, deta_w=0.05,
         lrate=5e-4, lrate_decay=500, precision="bf16",
         netdepth=8, netwidth=256, multires=10, multires_views=4,
+        pallas_train=pallas_train,
     )
-    scene = make_scene(H=128, W=128, n_train=4, n_test=1)
+    scene = make_scene(H=128, W=128, n_train=4, n_test=4)
     # reference scenes have ~30 object slots; synthetic scene supplies labels
     args.ins_num = 32
     cfg = FieldConfig.from_args(args)
+    n_chips = max(len(jax.devices()), 1)
 
+    # ---- train path ----
     state = create_train_state(jax.random.PRNGKey(0), cfg, args.lrate, args.lrate_decay)
-    step_fn = make_train_step(args, cfg)
+    step_fn = make_train_scan_step(args, cfg, scan_steps=scan_steps)
     arrs = scene.to_device_arrays()
+    i_train = jnp.asarray(np.asarray(scene.i_train), jnp.int32)
+    base_key = jax.random.PRNGKey(1)
 
-    # warmup/compile
-    state, m = step_fn(state, arrs, jax.random.PRNGKey(1), jnp.int32(0))
+    state, m = step_fn(state, arrs, base_key, i_train)  # compile + warm
     jax.block_until_ready(m["total_loss"])
 
-    n_steps = 50
-    rng = np.random.default_rng(0)
+    n_dispatch = 4
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        img_i = jnp.int32(rng.integers(0, len(scene.i_train)))
-        state, m = step_fn(state, arrs, jax.random.PRNGKey(i + 2), img_i)
+    for _ in range(n_dispatch):
+        state, m = step_fn(state, arrs, base_key, i_train)
     jax.block_until_ready(m["total_loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = args.N_train * n_steps / dt
-    n_chips = max(len(jax.devices()), 1)
-    value = rays_per_sec / n_chips
+    n_steps = scan_steps * n_dispatch
+    train_rps = args.N_train * n_steps / dt / n_chips
+    ms_step = dt / n_steps * 1e3
+    flops = _train_flops_per_step(
+        args.N_train, args.N_samples, args.N_importance,
+        param_count(init_field_params(jax.random.PRNGKey(9), cfg)))
+    tfs = flops / (dt / n_steps) / 1e12
+    mfu = tfs * 1e12 / V5E_BF16_PEAK
+
+    # ---- render path (full-image eval, one dispatch per image) ----
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+    args.N_test = 4096
+    render_im = make_image_renderer(cfg, args, scene.H, scene.W,
+                                    use_pallas=args.use_pallas)
+    poses = np.asarray(scene.poses[scene.i_test])
+    K = np.asarray(scene.hwk[2])
+    render_im(state.params, K, poses[0])  # compile
+    t0 = time.perf_counter()
+    reps = 2
+    for r in range(reps):
+        for p in poses:
+            render_im(state.params, K, p)  # np output => synchronous
+    rdt = time.perf_counter() - t0
+    render_rps = scene.H * scene.W * len(poses) * reps / rdt / n_chips
+
+    value = round(train_rps, 1)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(value, 1),
+        "value": value,
         "unit": "rays/s/chip",
         "vs_baseline": round(value / ASSUMED_REFERENCE_RAYS_PER_SEC, 3),
+        "ms_per_step": round(ms_step, 2),
+        "model_tflops_per_sec": round(tfs, 1),
+        "mfu_vs_bf16_peak": round(mfu, 3),
+        "render_rays_per_sec_per_chip": round(render_rps, 1),
+        "pallas_train": bool(pallas_train),
+        "scan_steps_per_dispatch": scan_steps,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    pt = "--no_pallas_train" not in sys.argv
+    main(pallas_train=pt)

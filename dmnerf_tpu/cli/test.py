@@ -60,14 +60,22 @@ def _load_state(args, ldir):
 
 
 def _color_dict(args):
+    """GT-label -> palette-index map for this scene (reference consumption:
+    tester.py:50-52, manipulator.py:221-223, mesh_generator.py:15-17).
+    Ships in data/color_dict.json; falls back to None (identity map downstream)
+    only for scenes the dict doesn't know (e.g. the synthetic fixture)."""
+    import dmnerf_tpu
     from dmnerf_tpu.utils.viz import load_color_dict
-    path = os.path.join("data", "color_dict.json")
-    if os.path.exists(path):
-        try:
-            parts = [p for p in args.datadir.replace("\\", "/").split("/") if p]
-            return load_color_dict(path, dataset_name_from_dir(args.datadir), parts[-1])
-        except KeyError:
-            pass
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(dmnerf_tpu.__file__)))
+    for path in (os.path.join("data", "color_dict.json"),
+                 os.path.join(repo_root, "data", "color_dict.json")):
+        if os.path.exists(path):
+            try:
+                parts = [p for p in args.datadir.replace("\\", "/").split("/") if p]
+                return load_color_dict(path, dataset_name_from_dir(args.datadir),
+                                       parts[-1])
+            except KeyError:
+                continue
     return None
 
 

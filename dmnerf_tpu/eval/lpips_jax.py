@@ -9,8 +9,18 @@ lpips package, so pretrained weights cannot be downloaded. Policy:
 - weights load from an .npz file (``--lpips_weights``) with keys
   ``conv{i}_w/conv{i}_b`` (VGG16 features) and ``lin{k}_w`` (LPIPS heads),
   convertible from the public lpips checkpoint with tools/convert_lpips.py;
+  the converter + this forward are validated against a torch re-derivation of
+  the LPIPS algorithm with identical weights (tests/test_lpips.py) — the
+  pretrained VALUES themselves cannot be validated here (no egress);
 - without weights, load_lpips returns None and the LPIPS column is NaN
   (documented deviation — PSNR/SSIM/AP are unaffected).
+
+Normalization parity (ADVICE r1): the reference calls lpips WITHOUT
+``normalize=True`` on [0,1] images (tester.py:43,91), i.e. the net consumes
+the [0,1] range as-is even though lpips' documented input domain is [-1,1].
+``normalize=False`` (default) reproduces that exactly so our LPIPS column is
+comparable to reference logs; ``normalize=True`` gives the correct-usage
+remap.
 """
 
 from __future__ import annotations
@@ -58,10 +68,17 @@ def _normalize(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
-def lpips_distance(params, img0, img1) -> jnp.ndarray:
-    """img0/img1: [H, W, 3] in [0, 1]. Returns scalar LPIPS distance."""
-    x0 = (img0[None] * 2.0 - 1.0).astype(jnp.float32)
-    x1 = (img1[None] * 2.0 - 1.0).astype(jnp.float32)
+def lpips_distance(params, img0, img1, normalize: bool = False) -> jnp.ndarray:
+    """img0/img1: [H, W, 3] in [0, 1]. Returns scalar LPIPS distance.
+
+    normalize=False (default) feeds the [0,1] images straight to the scaling
+    layer — the reference's effective behavior (see module docstring);
+    normalize=True remaps to the documented [-1,1] input domain first."""
+    if normalize:
+        img0 = img0 * 2.0 - 1.0
+        img1 = img1 * 2.0 - 1.0
+    x0 = jnp.asarray(img0, jnp.float32)[None]
+    x1 = jnp.asarray(img1, jnp.float32)[None]
     f0 = _vgg_features(params, x0)
     f1 = _vgg_features(params, x1)
     total = 0.0
@@ -72,13 +89,14 @@ def lpips_distance(params, img0, img1) -> jnp.ndarray:
     return total
 
 
-def load_lpips(weights_path: Optional[str]) -> Optional[Callable]:
+def load_lpips(weights_path: Optional[str],
+               normalize: bool = False) -> Optional[Callable]:
     """Returns lpips(img, gt) -> float, or None if weights are unavailable."""
     if not weights_path or not os.path.exists(weights_path):
         return None
     data = np.load(weights_path)
     params = {k: jnp.asarray(data[k]) for k in data.files}
-    fn = jax.jit(lambda a, b: lpips_distance(params, a, b))
+    fn = jax.jit(lambda a, b: lpips_distance(params, a, b, normalize=normalize))
 
     def metric(img, gt):
         return float(fn(jnp.asarray(img, jnp.float32), jnp.asarray(gt, jnp.float32)))

@@ -14,7 +14,7 @@ Parity with /root/reference/tools/mesh_generator.py:12-143:
 - exports {expname}.ply and color_{expname}.ply (:89-90,139-142).
 
 TPU notes: density queries and the vertex-coloring renders run through the same
-fixed-chunk jitted renderer as eval (one compile); marching tetrahedra and
+fixed-chunk jitted renderer as eval (one compile); marching cubes and
 cleanup are host-side numpy.
 """
 
@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmnerf_tpu.mesh.cleanup import clean_mesh
-from dmnerf_tpu.mesh.grid import grid_within_bound, oriented_bounds_pca
-from dmnerf_tpu.mesh.marching import marching_tetrahedra
+from dmnerf_tpu.mesh.grid import grid_within_bound, oriented_bounds
+from dmnerf_tpu.mesh.marching import marching_cubes
 from dmnerf_tpu.mesh.ply import read_ply, write_ply
 from dmnerf_tpu.models.fields import FieldConfig, apply_field
 from dmnerf_tpu.utils.viz import render_label2world
@@ -66,7 +66,7 @@ def extract_mesh(params, cfg: FieldConfig, args,
 
     if scene_ply_path and os.path.exists(scene_ply_path):
         verts_gt, _ = read_ply(scene_ply_path)
-        to_origin, _ = oriented_bounds_pca(verts_gt)
+        to_origin, _ = oriented_bounds(verts_gt)
         scene_transform = np.linalg.inv(to_origin)
     else:
         scene_transform = np.eye(4)
@@ -81,7 +81,7 @@ def extract_mesh(params, cfg: FieldConfig, args,
     occ = 1.0 - np.exp(-np.maximum(density, 0.0) * voxel)
     occ = occ.reshape(grid_dim, grid_dim, grid_dim)
 
-    verts_idx, faces, _ = marching_tetrahedra(occ, level)
+    verts_idx, faces, _ = marching_cubes(occ, level)
     if len(faces) == 0:
         print("extract_mesh: empty isosurface")
         return verts_idx, faces, None

@@ -1,12 +1,14 @@
-"""Isosurface extraction: vectorized marching tetrahedra.
+"""Isosurface extraction: marching cubes (default) + marching tetrahedra.
 
 The reference uses skimage.measure.marching_cubes (mesh_generator.py:68), which
-is unavailable here. Marching tetrahedra (each cube split into 6 tets around the
-main diagonal) extracts the same isosurface without the 256-case lookup tables —
-slightly more triangles, fully verifiable case enumeration, easy to vectorize in
-numpy. Vertices are deduplicated on global edge ids; normals come from the
-trilinearly-interpolated volume gradient (matching skimage's
-gradient_direction='ascent' convention).
+is unavailable here. `marching_cubes` extracts the same cube-cell isosurface
+with case tables DERIVED algorithmically (mesh/mc_tables.py) instead of a
+transcribed blob; the crack-free saddle rule is validated by watertightness +
+analytic-surface tests. `marching_tetrahedra` (each cube split into 6 tets —
+more triangles, no tables at all) is kept as a cross-check/fallback. Vertices
+are deduplicated on global edge ids; normals come from the trilinearly-
+interpolated volume gradient (matching skimage's gradient_direction='ascent').
+Both have C++ fast paths (native/marching.cpp, ~25x numpy at 256^3).
 """
 
 from __future__ import annotations
@@ -67,6 +69,116 @@ def _interp_normals(volume: np.ndarray, verts: np.ndarray) -> np.ndarray:
                 out += w[:, None] * g[base[:, 0] + dx, base[:, 1] + dy, base[:, 2] + dz]
     norm = np.linalg.norm(out, axis=-1, keepdims=True)
     return out / np.maximum(norm, 1e-12)
+
+
+def _dedup_and_finish(vol, ka, kb, t, D0, D1, D2):
+    """Shared tail: canonical-edge dedup -> verts/faces/normals."""
+    swap = ka > kb
+    lo = np.where(swap, kb, ka)
+    hi = np.where(swap, ka, kb)
+    t = np.where(swap, 1.0 - t, t)
+
+    edge_key = lo.astype(np.int64) * np.int64(D0 * D1 * D2) + hi
+    uniq, inverse = np.unique(edge_key.ravel(), return_inverse=True)
+    faces = inverse.reshape(-1, 3)
+
+    rep = np.zeros(len(uniq))
+    rep_lo = np.zeros(len(uniq), np.int64)
+    rep_hi = np.zeros(len(uniq), np.int64)
+    rep[inverse] = t.ravel()
+    rep_lo[inverse] = lo.ravel()
+    rep_hi[inverse] = hi.ravel()
+
+    def unflatten(idx):
+        z = idx % D2
+        y = (idx // D2) % D1
+        x = idx // (D1 * D2)
+        return np.stack([x, y, z], -1).astype(np.float64)
+
+    pa = unflatten(rep_lo)
+    pb = unflatten(rep_hi)
+    verts = pa + rep[:, None] * (pb - pa)
+
+    good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+            & (faces[:, 0] != faces[:, 2]))
+    faces = faces[good]
+    normals = _interp_normals(vol, verts)
+    return (verts.astype(np.float32), faces.astype(np.int64),
+            normals.astype(np.float32))
+
+
+def marching_cubes(volume: np.ndarray, level: float, slab: int = 32,
+                   use_native: bool = True
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract the `level` isosurface with marching cubes (generated tables).
+
+    Returns (vertices [V,3] float in index coordinates, faces [F,3] int,
+    vertex_normals [V,3], 'ascent' convention) — the same contract the
+    reference gets from skimage.marching_cubes (mesh_generator.py:68).
+    """
+    from dmnerf_tpu.mesh.mc_tables import EDGES, build_tables
+
+    tri_table, n_tris = build_tables()
+    vol = np.ascontiguousarray(volume, np.float32)
+    D0, D1, D2 = vol.shape
+
+    if use_native:
+        from dmnerf_tpu import native
+        mod = native.load()
+        if mod is not None and hasattr(mod, "marching_cubes"):
+            verts, faces = mod.marching_cubes(
+                vol, float(level), np.ascontiguousarray(tri_table),
+                np.ascontiguousarray(EDGES.astype(np.int32)))
+            if len(verts) == 0:
+                return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                        np.zeros((0, 3), np.float32))
+            return (verts.astype(np.float32), faces,
+                    _interp_normals(vol, verts).astype(np.float32))
+
+    all_ka, all_kb, all_t = [], [], []
+    for z0 in range(0, D0 - 1, slab):
+        z1 = min(z0 + slab, D0 - 1)
+        bx, by, bz = np.meshgrid(np.arange(z0, z1), np.arange(D1 - 1),
+                                 np.arange(D2 - 1), indexing="ij")
+        base = np.stack([bx.ravel(), by.ravel(), bz.ravel()], -1)
+
+        corner_coords = base[:, None, :] + _CORNERS[None]
+        vals = vol[corner_coords[..., 0], corner_coords[..., 1],
+                   corner_coords[..., 2]]
+        active = (vals.min(1) < level) & (vals.max(1) > level)
+        if not active.any():
+            continue
+        vals = vals[active]
+        corner_coords = corner_coords[active]
+        cid = (corner_coords[..., 0] * D1 + corner_coords[..., 1]) * D2 \
+            + corner_coords[..., 2]
+
+        case = ((vals > level) << np.arange(8)).sum(-1)
+        for cs in np.unique(case):
+            nt = int(n_tris[cs])
+            if nt == 0:
+                continue
+            sel = case == cs
+            scid = cid[sel]
+            svals = vals[sel]
+            tris = tri_table[cs, :3 * nt].reshape(nt, 3)
+            for tri in tris:
+                ea = EDGES[tri, 0]
+                eb = EDGES[tri, 1]
+                ka = scid[:, ea]
+                kb = scid[:, eb]
+                va = svals[:, ea]
+                vb = svals[:, eb]
+                all_ka.append(ka)
+                all_kb.append(kb)
+                tt = (level - va) / np.where(vb - va == 0, 1e-12, vb - va)
+                all_t.append(np.clip(tt, 0.0, 1.0))
+
+    if not all_ka:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                np.zeros((0, 3), np.float32))
+    return _dedup_and_finish(vol, np.concatenate(all_ka), np.concatenate(all_kb),
+                             np.concatenate(all_t), D0, D1, D2)
 
 
 def marching_tetrahedra(volume: np.ndarray, level: float, slab: int = 32,
@@ -147,44 +259,6 @@ def marching_tetrahedra(volume: np.ndarray, level: float, slab: int = 32,
     if not all_keys_a:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3), np.float32))
-
-    ka = np.concatenate(all_keys_a, 0)   # [T, 3]
-    kb = np.concatenate(all_keys_b, 0)
-    t = np.concatenate(all_t, 0)
-
-    # canonical edge key (min, max); flip t accordingly
-    swap = ka > kb
-    lo = np.where(swap, kb, ka)
-    hi = np.where(swap, ka, kb)
-    t = np.where(swap, 1.0 - t, t)
-
-    edge_key = lo.astype(np.int64) * np.int64(D0 * D1 * D2) + hi
-    uniq, inverse = np.unique(edge_key.ravel(), return_inverse=True)
-    faces = inverse.reshape(-1, 3)
-
-    # representative t per unique edge (all duplicates share identical t)
-    rep = np.zeros(len(uniq))
-    rep_lo = np.zeros(len(uniq), np.int64)
-    rep_hi = np.zeros(len(uniq), np.int64)
-    flat_inv = inverse
-    rep[flat_inv] = t.ravel()
-    rep_lo[flat_inv] = lo.ravel()
-    rep_hi[flat_inv] = hi.ravel()
-
-    def unflatten(idx):
-        z = idx % D2
-        y = (idx // D2) % D1
-        x = idx // (D1 * D2)
-        return np.stack([x, y, z], -1).astype(np.float64)
-
-    pa = unflatten(rep_lo)
-    pb = unflatten(rep_hi)
-    verts = pa + rep[:, None] * (pb - pa)
-
-    # drop degenerate faces (repeated vertex ids)
-    good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
-            & (faces[:, 0] != faces[:, 2]))
-    faces = faces[good]
-
-    normals = _interp_normals(vol, verts)
-    return verts.astype(np.float32), faces.astype(np.int64), normals.astype(np.float32)
+    return _dedup_and_finish(vol, np.concatenate(all_keys_a),
+                             np.concatenate(all_keys_b),
+                             np.concatenate(all_t), D0, D1, D2)

@@ -172,9 +172,117 @@ PyObject* marching_tetrahedra(PyObject*, PyObject* args) {
   return PyTuple_Pack(2, varr, farr);
 }
 
+// Marching cubes with caller-supplied tables (generated by
+// dmnerf_tpu/mesh/mc_tables.py — see its docstring for the derivation):
+//   marching_cubes(volume_f32_3d, level, tri_table_i32 [256, 3*MAX],
+//                  edges_i32 [12, 2]) -> (verts f64 [V,3], faces i64 [F,3])
+PyObject* marching_cubes(PyObject*, PyObject* args) {
+  PyArrayObject *vol_obj = nullptr, *tt_obj = nullptr, *eg_obj = nullptr;
+  double level;
+  if (!PyArg_ParseTuple(args, "O!dO!O!", &PyArray_Type, &vol_obj, &level,
+                        &PyArray_Type, &tt_obj, &PyArray_Type, &eg_obj))
+    return nullptr;
+  if (PyArray_NDIM(vol_obj) != 3 || PyArray_TYPE(vol_obj) != NPY_FLOAT32 ||
+      !PyArray_IS_C_CONTIGUOUS(vol_obj) ||
+      PyArray_NDIM(tt_obj) != 2 || PyArray_TYPE(tt_obj) != NPY_INT32 ||
+      !PyArray_IS_C_CONTIGUOUS(tt_obj) || PyArray_DIM(tt_obj, 0) != 256 ||
+      PyArray_NDIM(eg_obj) != 2 || PyArray_TYPE(eg_obj) != NPY_INT32 ||
+      !PyArray_IS_C_CONTIGUOUS(eg_obj) || PyArray_DIM(eg_obj, 0) != 12) {
+    PyErr_SetString(PyExc_ValueError,
+                    "expected (f32 volume [D0,D1,D2], level, i32 tri_table "
+                    "[256,3k], i32 edges [12,2])");
+    return nullptr;
+  }
+  const npy_intp* dims = PyArray_DIMS(vol_obj);
+  const int64_t D0 = dims[0], D1 = dims[1], D2 = dims[2];
+  const float* vol = static_cast<const float*>(PyArray_DATA(vol_obj));
+  const int32_t* tt = static_cast<const int32_t*>(PyArray_DATA(tt_obj));
+  const int64_t tt_w = PyArray_DIM(tt_obj, 1);
+  const int32_t* eg = static_cast<const int32_t*>(PyArray_DATA(eg_obj));
+  const float lv = static_cast<float>(level);
+
+  std::unordered_map<int64_t, int32_t> edge_to_vid;
+  std::vector<V3> verts;
+  std::vector<int64_t> faces;
+  edge_to_vid.reserve(1 << 18);
+
+  auto vertex_on_edge = [&](int64_t ca, int64_t cb, float va, float vb) -> int32_t {
+    int64_t lo = ca, hi = cb;
+    float vlo = va, vhi = vb;
+    if (lo > hi) { lo = cb; hi = ca; vlo = vb; vhi = va; }
+    int64_t key = lo * (D0 * D1 * D2) + hi;
+    auto it = edge_to_vid.find(key);
+    if (it != edge_to_vid.end()) return it->second;
+    float denom = vhi - vlo;
+    float t = denom == 0.0f ? 0.5f : (lv - vlo) / denom;
+    if (t < 0.0f) t = 0.0f;
+    if (t > 1.0f) t = 1.0f;
+    double ax = double(lo / (D1 * D2)), ay = double((lo / D2) % D1), az = double(lo % D2);
+    double bx = double(hi / (D1 * D2)), by = double((hi / D2) % D1), bz = double(hi % D2);
+    V3 p{ax + t * (bx - ax), ay + t * (by - ay), az + t * (bz - az)};
+    int32_t vid = static_cast<int32_t>(verts.size());
+    verts.push_back(p);
+    edge_to_vid.emplace(key, vid);
+    return vid;
+  };
+
+  Py_BEGIN_ALLOW_THREADS
+  for (int64_t x = 0; x + 1 < D0; x++) {
+    for (int64_t y = 0; y + 1 < D1; y++) {
+      for (int64_t z = 0; z + 1 < D2; z++) {
+        float cv[8];
+        int64_t cid[8];
+        int cs = 0;
+        float vmin = 1e30f, vmax = -1e30f;
+        for (int c = 0; c < 8; c++) {
+          int64_t cx = x + CORNERS[c][0], cy = y + CORNERS[c][1],
+                  cz = z + CORNERS[c][2];
+          float v = vol[(cx * D1 + cy) * D2 + cz];
+          cv[c] = v;
+          cid[c] = (cx * D1 + cy) * D2 + cz;
+          if (v > lv) cs |= 1 << c;
+          if (v < vmin) vmin = v;
+          if (v > vmax) vmax = v;
+        }
+        if (!(vmin < lv && vmax > lv)) continue;
+        const int32_t* row = tt + cs * tt_w;
+        for (int64_t k = 0; k + 2 < tt_w && row[k] >= 0; k += 3) {
+          int32_t ids[3];
+          for (int e = 0; e < 3; e++) {
+            int a = eg[2 * row[k + e]];
+            int b = eg[2 * row[k + e] + 1];
+            ids[e] = vertex_on_edge(cid[a], cid[b], cv[a], cv[b]);
+          }
+          if (ids[0] != ids[1] && ids[1] != ids[2] && ids[0] != ids[2]) {
+            faces.push_back(ids[0]);
+            faces.push_back(ids[1]);
+            faces.push_back(ids[2]);
+          }
+        }
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  npy_intp vdims[2] = {static_cast<npy_intp>(verts.size()), 3};
+  npy_intp fdims[2] = {static_cast<npy_intp>(faces.size() / 3), 3};
+  PyObject* varr = PyArray_SimpleNew(2, vdims, NPY_FLOAT64);
+  PyObject* farr = PyArray_SimpleNew(2, fdims, NPY_INT64);
+  if (!varr || !farr) return nullptr;
+  if (!verts.empty())
+    memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(varr)), verts.data(),
+           verts.size() * sizeof(V3));
+  if (!faces.empty())
+    memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(farr)), faces.data(),
+           faces.size() * sizeof(int64_t));
+  return PyTuple_Pack(2, varr, farr);
+}
+
 PyMethodDef methods[] = {
     {"marching_tetrahedra", marching_tetrahedra, METH_VARARGS,
      "marching_tetrahedra(volume_f32, level) -> (verts, faces)"},
+    {"marching_cubes", marching_cubes, METH_VARARGS,
+     "marching_cubes(volume_f32, level, tri_table_i32, edges_i32) -> (verts, faces)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -50,7 +50,8 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
     os.makedirs(ldir, exist_ok=True)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg,
-                               args.lrate, args.lrate_decay)
+                               args.lrate, args.lrate_decay,
+                               init_scheme=getattr(args, "init_scheme", "he"))
     start = 0
     if getattr(args, "resume", False):
         ckpt = latest_checkpoint(ldir)

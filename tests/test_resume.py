@@ -16,7 +16,7 @@ from dmnerf_tpu.train.step import create_train_state, make_train_step
 def test_resume_continues_identically(tmp_path):
     scene = make_scene(H=16, W=16, n_train=2, n_test=1)
     args = default_config(N_train=64, N_samples=8, N_importance=8,
-                          near=1.0, far=12.0, perturb=0.0, penalize=False,
+                          near=1.0, far=12.0, perturb=0.0, penalize=False, pallas_train=False,
                           precision="f32", netdepth=2, netwidth=32,
                           multires=3, multires_views=2)
     args.ins_num = scene.ins_num

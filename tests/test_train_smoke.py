@@ -19,7 +19,7 @@ def tiny_args(**kw):
         N_train=128, N_samples=8, N_importance=8,
         near=1.0, far=12.0, perturb=1.0,
         penalize=True, tolerance=0.05, deta_w=0.05,
-        lrate=5e-3, lrate_decay=500, precision="f32",
+        lrate=5e-3, lrate_decay=500, precision="f32", pallas_train=False,
         netdepth=2, netwidth=32, multires=4, multires_views=2,
     )
     for k, v in kw.items():
