@@ -145,10 +145,10 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
     return rgb, ins, tar_rgb, tar_ins_accum
 
 
-def _field_fns(cfg, params, use_pallas: bool):
+def _field_fns(cfg, params, use_pallas: bool, mesh=None):
     if use_pallas:
         from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
-        f = make_pallas_field(cfg)
+        f = make_pallas_field(cfg, mesh=mesh)
         return (lambda pts, vd: f(params["coarse"], pts, vd),
                 lambda pts, vd: f(params["fine"], pts, vd))
     from dmnerf_tpu.models.fields import apply_field
@@ -161,7 +161,7 @@ def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int],
     """Jitted chunk editor with static chunk size args.N_test and n_obj.
     Under a device mesh the (original + per-object target) ray chunks shard
     over the 'data' axis — the edit is embarrassingly ray-parallel."""
-    coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas)
+    coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
 
     @jax.jit
     def run(ori_o, ori_d, tar_os, tar_ds):
@@ -187,7 +187,7 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
     n_rays must be a multiple of args.N_test."""
     chunk = int(args.N_test)
     assert n_rays % chunk == 0
-    coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas)
+    coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
 
     @jax.jit
     def run_image(ori_o, ori_d, tar_os, tar_ds):

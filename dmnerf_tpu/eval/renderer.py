@@ -28,7 +28,7 @@ def make_chunk_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
 
     if use_pallas:
         from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
-        field = make_pallas_field(cfg)
+        field = make_pallas_field(cfg, mesh=mesh)
     else:
         field = lambda params, pts, vd: apply_field(params, cfg, pts, vd)
 
@@ -61,7 +61,7 @@ def make_batch_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
 
     if use_pallas:
         from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
-        field = make_pallas_field(cfg)
+        field = make_pallas_field(cfg, mesh=mesh)
     else:
         field = lambda params, pts, vd: apply_field(params, cfg, pts, vd)
 

@@ -352,15 +352,27 @@ def _pad_rows(arr, tile):
     return arr, pad
 
 
-def make_field(cfg: FieldConfig, trainable: bool):
+def make_field(cfg: FieldConfig, trainable: bool, mesh=None,
+               axis_name: str = "data"):
     """field(params, pts [R,S,3], viewdirs [R,1,3]) -> raw [R,S,C] fp32.
 
     trainable=True routes through the custom-VJP (differentiable wrt params and
     pts/dirs); trainable=False uses the forward-only kernel (eval paths).
+
+    mesh: under a device mesh the kernel runs inside shard_map over the point
+    axis — the SPMD partitioner cannot see inside a tpu_custom_call, so without
+    this each device would redundantly compute the full batch. Weights go in
+    replicated (P()); shard_map's transpose turns their per-device cotangents
+    into the gradient psum automatically.
     """
-    # pad to TILE_FWD: both the fwd tile and the (smaller, power-of-2) bwd tile
-    # divide any multiple of it
-    tile = TILE_FWD
+    n_shards = int(mesh.shape[axis_name]) if mesh is not None else 1
+    # pad so every shard's rows are a multiple of both kernel tiles
+    tile = TILE_FWD * n_shards
+
+    def call(enc_x, enc_d, *wb):
+        if trainable:
+            return fused_field_packed(cfg, enc_x, enc_d, *wb)
+        return _fwd_call(cfg, enc_x, enc_d, wb)
 
     def field(params, pts, viewdirs):
         R, S = pts.shape[:2]
@@ -368,10 +380,15 @@ def make_field(cfg: FieldConfig, trainable: bool):
         enc_x, pad = _pad_rows(enc_x, tile)
         enc_d, _ = _pad_rows(enc_d, tile)
         wb = pack_params(params, cfg)
-        if trainable:
-            raw = fused_field_packed(cfg, enc_x, enc_d, *wb)
+        if n_shards > 1:
+            from jax.sharding import PartitionSpec as P
+            fn = jax.shard_map(
+                call, mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name)) + (P(),) * len(wb),
+                out_specs=P(axis_name), check_vma=False)
+            raw = fn(enc_x, enc_d, *wb)
         else:
-            raw = _fwd_call(cfg, enc_x, enc_d, wb)
+            raw = call(enc_x, enc_d, *wb)
         if pad:
             raw = raw[:R * S]
         return raw.reshape(R, S, -1)

@@ -14,6 +14,7 @@ from dmnerf_tpu.ops.pallas.field_kernels import TILE_FWD, make_field
 TILE_P = TILE_FWD  # compat alias
 
 
-def make_pallas_field(cfg: FieldConfig):
-    """Returns field(params, pts [R,S,3], viewdirs [R,1,3]) -> raw [R,S,C]."""
-    return make_field(cfg, trainable=False)
+def make_pallas_field(cfg: FieldConfig, mesh=None):
+    """Returns field(params, pts [R,S,3], viewdirs [R,1,3]) -> raw [R,S,C].
+    Under a mesh the kernel shard_maps over the point axis."""
+    return make_field(cfg, trainable=False, mesh=mesh)

@@ -12,7 +12,9 @@ from dmnerf_tpu.models.fields import FieldConfig
 from dmnerf_tpu.ops.pallas.field_kernels import TILE_BWD, make_field
 
 
-def make_trainable_pallas_field(cfg: FieldConfig):
+def make_trainable_pallas_field(cfg: FieldConfig, mesh=None):
     """Returns field(params, pts [R,S,3], viewdirs [R,1,3]) -> raw [R,S,C],
-    differentiable wrt params (and pts/dirs), drop-in for apply_field."""
-    return make_field(cfg, trainable=True)
+    differentiable wrt params (and pts/dirs), drop-in for apply_field.
+    Under a mesh the kernel shard_maps over the point axis (grad psum via
+    the shard_map transpose)."""
+    return make_field(cfg, trainable=True, mesh=mesh)

@@ -127,7 +127,7 @@ def make_train_step(args, cfg: FieldConfig, sampler: str = "full", mesh=None,
         # fused fwd+bwd field kernel: no HBM activations, no remat needed
         from dmnerf_tpu.ops.pallas.fused_field_train import \
             make_trainable_pallas_field
-        _ptf = make_trainable_pallas_field(cfg)
+        _ptf = make_trainable_pallas_field(cfg, mesh=mesh)
         field = lambda p, _cfg, pts, vd: _ptf(p, pts, vd)
     elif getattr(args, "remat", True):
         field = jax.checkpoint(apply_field, static_argnums=(1,))

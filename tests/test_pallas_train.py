@@ -82,3 +82,34 @@ def test_pts_grads_match_xla():
     g_x = jax.grad(f_xla)(pts)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_pallas_field_sharded_matches_single(monkeypatch):
+    """shard_map'd kernel on an 8-device mesh: forward and param grads match
+    the unsharded kernel (weights replicated in -> grad psum via the shard_map
+    transpose). Small tiles keep interpret mode fast."""
+    from dmnerf_tpu.ops.pallas import field_kernels
+    from dmnerf_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    monkeypatch.setattr(field_kernels, "TILE_FWD", 8)
+    monkeypatch.setattr(field_kernels, "TILE_BWD", 8)
+
+    params, pts, dirs = _setup()  # R=2, S=4 -> 8 pts -> 1 pt/shard... pad to 64
+    mesh = make_mesh()
+    f1 = make_trainable_pallas_field(CFG)
+    f8 = make_trainable_pallas_field(CFG, mesh=mesh)
+
+    def loss(field):
+        return lambda p: jnp.sum(jnp.sin(field(p, pts, dirs)))
+
+    out1 = f1(params, pts, dirs)
+    out8 = f8(params, pts, dirs)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(loss(f1))(params)
+    g8 = jax.grad(loss(f8))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g8), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

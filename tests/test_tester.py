@@ -143,3 +143,40 @@ def test_render_test_crop_path(tmp_path):
     import imageio.v2 as imageio
     img = imageio.imread(os.path.join(tmp_path, "000.png"))
     assert img.shape[:2] == (10, 12)
+
+
+def test_render_test_full_path_sharded_matches_single(tmp_path):
+    """The FULL render_test path (metrics + AP + artifacts) on an 8-device
+    mesh must match the single-device run bit-for-bit (VERDICT r1 item 5;
+    SURVEY §5 eval all-gather)."""
+    import os
+
+    import jax as _jax
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+    from dmnerf_tpu.eval.tester import render_test
+    from dmnerf_tpu.parallel.mesh import make_mesh
+
+    assert len(_jax.devices()) == 8
+    scene = make_scene(H=8, W=8, n_train=1, n_test=2)
+    args = default_config(N_test=64, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4, multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    rows = {}
+    for tag, mesh in [("single", None), ("sharded", make_mesh())]:
+        render_im = make_image_renderer(cfg, args, 8, 8, mesh=mesh)
+        savedir = os.path.join(tmp_path, tag)
+        os.makedirs(savedir, exist_ok=True)
+        render_test(render_im, state.params, scene.poses[scene.i_test],
+                    scene.hwk, args, gt_imgs=scene.images[scene.i_test],
+                    gt_labels=scene.gt_labels[scene.i_test],
+                    ins_rgbs=scene.ins_rgbs, savedir=savedir)
+        rows[tag] = np.loadtxt(os.path.join(savedir, "test_results.txt"))
+
+    # PSNR/SSIM/AP columns identical (LPIPS column is NaN-gated)
+    a, b = rows["single"], rows["sharded"]
+    np.testing.assert_allclose(np.delete(a, 2, axis=1), np.delete(b, 2, axis=1),
+                               rtol=0, atol=1e-6)
