@@ -100,3 +100,22 @@ def test_loop_resume_replays_uninterrupted_run(tmp_path):
     for r in int_rows:
         np.testing.assert_allclose(r["total_loss"],
                                    full_rows[r["step"]]["total_loss"], rtol=1e-5)
+
+
+def test_loop_tail_dispatch(tmp_path):
+    """n_iters not divisible by scan_steps: the remainder runs as a tail scan
+    and the final step count is exact (the reference's 500001-iteration budget
+    is odd, train_dmsr.py:20)."""
+    from dmnerf_tpu.train.loop import train
+
+    scene = make_scene(H=16, W=16, n_train=2, n_test=1)
+    args = tiny_args()
+    args.expname = "tail_t"
+    args.basedir = str(tmp_path)
+    args.log_time = "t"
+    args.i_print = 100
+    args.i_save = 100
+    args.i_test = 0
+    args.seed = 0
+    s = train(args, scene, n_iters=7, eval_every=0, scan_steps=4)
+    assert int(s.step) == 7
