@@ -89,7 +89,7 @@ def calculate_ap(ious: np.ndarray, gt_number: int,
 def ins_eval(pred_ins: np.ndarray, gt_label: np.ndarray, ins_num: int,
              mask: Optional[np.ndarray] = None
              ) -> Tuple[np.ndarray, List[float], np.ndarray]:
-    """Evaluate one view.
+    """Evaluate one view from the full probability map.
 
     pred_ins: [H, W, K] composited instance probabilities;
     gt_label: [H, W] int labels; mask: optional [H, W] 0/1 (ScanNet crop:
@@ -97,9 +97,22 @@ def ins_eval(pred_ins: np.ndarray, gt_label: np.ndarray, ins_num: int,
     Returns (pred_label [H, W], ap[6], matched gt-order pred labels [-1 = none]).
     """
     pred_ins = np.asarray(pred_ins)
-    gt_label = np.asarray(gt_label).astype(np.int64)
+    return ins_eval_from_labels(np.argmax(pred_ins, axis=-1), pred_ins.max(-1),
+                                gt_label, ins_num, mask)
 
-    pred_label = np.argmax(pred_ins, axis=-1)
+
+def ins_eval_from_labels(pred_label: np.ndarray, conf_map: np.ndarray,
+                         gt_label: np.ndarray, ins_num: int,
+                         mask: Optional[np.ndarray] = None
+                         ) -> Tuple[np.ndarray, List[float], np.ndarray]:
+    """ins_eval taking the device-side reduction (argmax label + max prob) —
+    the full [H,W,K] map is only ever consumed through these two reductions
+    (evaluator.py:130-146), and shipping them instead of the map cuts the
+    eval's device->host transfer ~10x on the tunnel."""
+    gt_label = np.asarray(gt_label).astype(np.int64)
+    pred_label = np.asarray(pred_label).astype(np.int64)
+    conf_map = np.asarray(conf_map)
+
     if mask is not None:
         pred_label = pred_label.copy()
         pred_label[mask == 0] = ins_num
@@ -109,7 +122,6 @@ def ins_eval(pred_ins: np.ndarray, gt_label: np.ndarray, ins_num: int,
     valid_pred_num = len(valid_pred_labels)
 
     # per-object confidence: median of per-pixel max prob (evaluator.py:137-146)
-    conf_map = pred_ins.max(-1)
     pred_conf = np.array([np.median(conf_map[pred_label == lab])
                           for lab in valid_pred_labels])
 

@@ -122,8 +122,11 @@ def render_image(render_chunk, params, H: int, W: int, K: np.ndarray,
 
 def make_image_renderer(cfg: FieldConfig, args, H: int, W: int, mesh=None,
                         use_pallas: bool = False):
-    """render_im(params, K, c2w) -> (rgb [H,W,3], ins [H,W,K], depth [H,W]),
-    one device dispatch per image."""
+    """render_im(params, K, c2w) -> (rgb [H,W,3], label [H,W] i32,
+    conf [H,W] f32, depth [H,W]) as numpy. ONE device dispatch per image: ray
+    generation, padding, the chunked render, the instance argmax/max-prob
+    reduction, and the crop/reshape all live inside one jit (unjitted ray-gen
+    costs ~10 small dispatches x ~5 ms tunnel latency per image)."""
     chunk = int(args.N_test)
     n = H * W
     n_pad = (-n) % chunk
@@ -131,17 +134,26 @@ def make_image_renderer(cfg: FieldConfig, args, H: int, W: int, mesh=None,
                                      args.near, args.far, chunk, n + n_pad,
                                      mesh=mesh, use_pallas=use_pallas)
 
-    def render_im(params, K, c2w):
-        rays_o, rays_d = get_rays(H, W, jnp.asarray(K, jnp.float32),
-                                  jnp.asarray(c2w, jnp.float32))
+    @jax.jit
+    def render_im_dev(params, K, c2w):
+        rays_o, rays_d = get_rays(H, W, K.astype(jnp.float32),
+                                  c2w.astype(jnp.float32))
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
         if n_pad:
             rays_o = jnp.concatenate([rays_o, rays_o[-n_pad:]], 0)
             rays_d = jnp.concatenate([rays_d, rays_d[-n_pad:]], 0)
         rgb, ins, depth = render_all(params, rays_o, rays_d)
-        rgb, ins, depth = np.asarray(rgb), np.asarray(ins), np.asarray(depth)
-        return (rgb[:n].reshape(H, W, 3), ins[:n].reshape(H, W, -1),
-                depth[:n].reshape(H, W))
+        # instance map reduced ON DEVICE: downstream (ins_eval, label->color
+        # pngs) only consumes argmax + max-prob, and the full [H,W,K] fp32 map
+        # costs ~10x the D2H bytes over the tunnel (evaluator.py:130-146)
+        label = jnp.argmax(ins[:n], axis=-1).astype(jnp.int32)
+        conf = jnp.max(ins[:n], axis=-1)
+        return (rgb[:n].reshape(H, W, 3), label.reshape(H, W),
+                conf.reshape(H, W), depth[:n].reshape(H, W))
+
+    def render_im(params, K, c2w):
+        out = render_im_dev(params, jnp.asarray(K), jnp.asarray(c2w))
+        return tuple(np.asarray(x) for x in jax.device_get(out))
 
     return render_im

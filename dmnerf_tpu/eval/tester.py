@@ -22,7 +22,7 @@ from typing import Optional
 
 import numpy as np
 
-from dmnerf_tpu.eval.instance_ap import ins_eval
+from dmnerf_tpu.eval.instance_ap import ins_eval_from_labels
 from dmnerf_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
 from dmnerf_tpu.eval.renderer import render_image
 from dmnerf_tpu.utils.viz import (render_gt_label2img, render_label2img, to8b)
@@ -44,9 +44,10 @@ def render_test(render_im, params, render_poses, hwk, args,
                 color_dict: Optional[dict] = None):
     """Returns (mean_psnr, mean_ssim, mean_lpips, mean_ap[6]) and writes artifacts.
 
-    render_im: either an image renderer (params, K, c2w) -> (rgb, ins, depth)
-    from eval.renderer.make_image_renderer (preferred: single dispatch per
-    image), or a legacy chunk renderer (detected by arity at call time).
+    render_im: either an image renderer (params, K, c2w) ->
+    (rgb, label, conf, depth) from eval.renderer.make_image_renderer
+    (preferred: single dispatch per image, device-reduced instance map), or a
+    legacy chunk renderer (detected by arity at call time).
     """
     H, W, K = hwk
     lpips_fn = _maybe_lpips(args)
@@ -63,16 +64,19 @@ def render_test(render_im, params, render_poses, hwk, args,
     for i, c2w in enumerate(np.asarray(render_poses)):
         t0 = time.time()
         try:
-            rgb, ins, _ = render_im(params, K, c2w)
+            rgb, label, conf, _ = render_im(params, K, c2w)
         except TypeError:  # legacy chunk renderer signature
             rgb, ins, _ = render_image(render_im, params, H, W, K, c2w, args.N_test)
+            label = np.argmax(ins, -1)
+            conf = ins.max(-1)
 
         gt_img = None if gt_imgs is None else np.asarray(gt_imgs[i])
         gt_label = None if gt_labels is None else np.asarray(gt_labels[i])
         mask = None
         if crop_mask is not None:
             rgb = rgb.reshape(-1, 3)[flat_mask].reshape(ch, cw, 3)
-            ins = ins.reshape(H * W, -1)[flat_mask].reshape(ch, cw, -1)
+            label = label.reshape(-1)[flat_mask].reshape(ch, cw)
+            conf = conf.reshape(-1)[flat_mask].reshape(ch, cw)
             if gt_img is not None:
                 gt_img = gt_img.reshape(-1, 3)[flat_mask].reshape(ch, cw, 3)
                 gt_label = gt_label.reshape(-1)[flat_mask].reshape(ch, cw)
@@ -85,7 +89,8 @@ def render_test(render_im, params, render_poses, hwk, args,
             ssims.append(ssim_fn(rgb, gt_img))
             lpipses.append(lpips_fn(rgb, gt_img) if lpips_fn else float("nan"))
 
-            pred_label, ap, matched = ins_eval(ins, gt_label, args.ins_num, mask)
+            pred_label, ap, matched = ins_eval_from_labels(
+                label, conf, gt_label, args.ins_num, mask)
             valid_gt = np.unique(gt_label)
             if mask is not None:
                 valid_gt = valid_gt[valid_gt != args.ins_num]

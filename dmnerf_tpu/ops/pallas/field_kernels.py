@@ -47,7 +47,7 @@ F32 = jnp.float32
 # tile sizes are overridable for benchmarking (DMNERF_TILE_FWD/_BWD env vars)
 import os as _os
 TILE_FWD = int(_os.environ.get("DMNERF_TILE_FWD", 2048))
-TILE_BWD = int(_os.environ.get("DMNERF_TILE_BWD", 1024))
+TILE_BWD = int(_os.environ.get("DMNERF_TILE_BWD", 2048))
 
 _VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB VMEM; default scoped cap is 16 MiB
 

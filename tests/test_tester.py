@@ -79,9 +79,10 @@ def test_image_renderer_matches_chunked():
     rgb1, ins1, d1 = render_image(render_chunk, state.params, 10, 12,
                                   scene.K, scene.poses[0], args.N_test)
     render_im = make_image_renderer(cfg, args, 10, 12)
-    rgb2, ins2, d2 = render_im(state.params, scene.K, scene.poses[0])
+    rgb2, label2, conf2, d2 = render_im(state.params, scene.K, scene.poses[0])
     np.testing.assert_allclose(rgb1, rgb2, atol=1e-5)
-    np.testing.assert_allclose(ins1, ins2, atol=1e-5)
+    np.testing.assert_array_equal(np.argmax(ins1, -1), label2)
+    np.testing.assert_allclose(ins1.max(-1), conf2, atol=1e-5)
     np.testing.assert_allclose(d1, d2, atol=1e-4)
 
 
@@ -101,11 +102,12 @@ def test_batch_renderer_sharded():
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     mesh = make_mesh()
     render_im = make_image_renderer(cfg, args, 8, 8, mesh=mesh)
-    rgb_m, ins_m, _ = render_im(state.params, scene.K, scene.poses[0])
+    rgb_m, lab_m, conf_m, _ = render_im(state.params, scene.K, scene.poses[0])
     render_im1 = make_image_renderer(cfg, args, 8, 8)
-    rgb_1, ins_1, _ = render_im1(state.params, scene.K, scene.poses[0])
+    rgb_1, lab_1, conf_1, _ = render_im1(state.params, scene.K, scene.poses[0])
     np.testing.assert_allclose(rgb_m, rgb_1, atol=1e-5)
-    np.testing.assert_allclose(ins_m, ins_1, atol=1e-5)
+    np.testing.assert_array_equal(lab_m, lab_1)
+    np.testing.assert_allclose(conf_m, conf_1, atol=1e-5)
 
 
 def test_render_test_crop_path(tmp_path):
