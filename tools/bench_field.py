@@ -7,7 +7,7 @@ Timing methodology (important on the axon tunnel): the op is repeated K times
 INSIDE one jit via lax.scan with a scalar carry folded into the input, so every
 iteration has distinct inputs and a true data dependency. Host-side repeat
 loops are useless here: the loopback relay memoizes identical dispatches and
-block_until_ready does not reliably fence, which yields nonsense timings.
+block_until_ready does not reliably fence — fetch a scalar (float()) to fence.
 ms/call = (T(K) - T(1)) / (K - 1) also cancels dispatch latency.
 """
 
@@ -49,13 +49,11 @@ def main():
                 return c + op(pts + c, params) * 1e-12, None
             c, _ = jax.lax.scan(body, x0, None, length=k)
             return c
-        r = many(jnp.float32(0.0))
-        r.block_until_ready()  # compile+first run
+        float(many(jnp.float32(0.0)))  # compile+first run
         best = float("inf")
         for i in range(3):
             t0 = time.perf_counter()
-            r = many(jnp.float32(i + 1) * 1e-5)
-            r.block_until_ready()
+            float(many(jnp.float32(i + 1) * 1e-5))  # float() = reliable fence
             best = min(best, time.perf_counter() - t0)
         return best
 
