@@ -184,7 +184,15 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
                            mesh=None, use_pallas: bool = False):
     """Whole-image edit in ONE dispatch: lax.map over fixed-size chunks
     (same dispatch-amortization as eval.renderer.make_batch_renderer).
-    n_rays must be a multiple of args.N_test."""
+    n_rays must be a multiple of args.N_test.
+
+    Returns run_image(ori_o, ori_d, tar_os, tar_ds) ->
+      (rgb [n,3], label_full [n] i32, label_noair [n] i32, conf_noair [n] f32)
+    — the instance map is reduced ON DEVICE: the runners only consume
+    argmax over all K+1 channels (visualization, manipulator.py:330) and
+    argmax/max over the air-dropped channels (AP eval, manipulator.py:294);
+    shipping the full [n, K+1] fp32 maps would be ~17x the D2H bytes over the
+    tunnel."""
     chunk = int(args.N_test)
     assert n_rays % chunk == 0
     coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
@@ -200,16 +208,19 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
                             for i in range(n_obj)]
             else:
                 tar_rays = [(tos[i], tds[i]) for i in range(n_obj)]
-            return manipulate_chunk(coarse_fn, fine_fn, (oo, od), tar_rays,
-                                    move_labels, args.N_samples,
-                                    args.N_importance, args.near, args.far)
+            rgb, ins, _, _ = manipulate_chunk(
+                coarse_fn, fine_fn, (oo, od), tar_rays, move_labels,
+                args.N_samples, args.N_importance, args.near, args.far)
+            return (rgb, jnp.argmax(ins, -1).astype(jnp.int32),
+                    jnp.argmax(ins[..., :-1], -1).astype(jnp.int32),
+                    jnp.max(ins[..., :-1], -1))
 
         nc = n_rays // chunk
         parts = (ori_o.reshape(nc, chunk, 3), ori_d.reshape(nc, chunk, 3),
                  tar_os.reshape(n_obj, nc, chunk, 3).transpose(1, 0, 2, 3),
                  tar_ds.reshape(n_obj, nc, chunk, 3).transpose(1, 0, 2, 3))
-        rgb, ins, trgb, tins = jax.lax.map(one, parts)
-        return (rgb.reshape(n_rays, 3), ins.reshape(n_rays, -1),
-                trgb.reshape(n_rays, 3), tins.reshape(n_rays, -1))
+        rgb, lab_full, lab, conf = jax.lax.map(one, parts)
+        return (rgb.reshape(n_rays, 3), lab_full.reshape(n_rays),
+                lab.reshape(n_rays), conf.reshape(n_rays))
 
     return run_image

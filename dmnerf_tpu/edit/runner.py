@@ -21,7 +21,7 @@ import numpy as np
 from dmnerf_tpu.core.rays import get_rays
 from dmnerf_tpu.edit.deform import deform_rays
 from dmnerf_tpu.edit.manipulator import make_image_manipulator
-from dmnerf_tpu.eval.instance_ap import ins_eval
+from dmnerf_tpu.eval.instance_ap import ins_eval_from_labels
 from dmnerf_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
 from dmnerf_tpu.utils.viz import render_gt_label2img, render_label2img, to8b
 
@@ -34,7 +34,8 @@ def _full_rays(H, W, K, c2w):
 
 
 def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
-    """One-dispatch edit over one image's rays. tar_os/tar_ds: [n_obj, H*W, 3]."""
+    """One-dispatch edit over one image's rays. tar_os/tar_ds: [n_obj, H*W, 3].
+    Returns (rgb, label_full, label_noair, conf_noair) as numpy."""
     n = ori_o.shape[0]
     n_pad = (-n) % chunk
 
@@ -48,10 +49,9 @@ def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
 
     ori_o, ori_d = pad(ori_o), pad(ori_d)
     tar_os, tar_ds = pad(tar_os, 1), pad(tar_ds, 1)
-    rgb, ins, trgb, tins = run_image(jnp.asarray(ori_o), jnp.asarray(ori_d),
-                                     jnp.asarray(tar_os), jnp.asarray(tar_ds))
-    return (np.asarray(rgb)[:n], np.asarray(ins)[:n],
-            np.asarray(trgb)[:n], np.asarray(tins)[:n])
+    outs = run_image(jnp.asarray(ori_o), jnp.asarray(ori_d),
+                     jnp.asarray(tar_os), jnp.asarray(tar_ds))
+    return tuple(np.asarray(x)[:n] for x in outs)
 
 
 def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgbs,
@@ -83,13 +83,12 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
         tar_pose = trans @ ori_pose
         tar_o, tar_d = _full_rays(H, W, K, tar_pose)
 
-        rgb, ins, tar_rgb, _ = _run_edit_image(
+        rgb, label_full, label, conf = _run_edit_image(
             run_chunk, ori_o, ori_d, tar_o[None], tar_d[None], args.N_test)
         rgb = rgb.reshape(H, W, 3)
-        ins = ins.reshape(H, W, -1)
 
         ins_map = {}
-        pred_label = np.argmax(ins, -1).reshape(H, W)
+        pred_label = label_full.reshape(H, W)
         if gt_rgbs is not None:
             gt_img = np.asarray(gt_rgbs[i])
             psnrs.append(psnr_fn(rgb, gt_img))
@@ -97,7 +96,8 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
             lpipses.append(lpips_fn(rgb, gt_img) if lpips_fn else float("nan"))
             gt_label = np.asarray(gt_labels[i])
             # air channel dropped before AP (manipulator.py:294)
-            pl, ap, matched = ins_eval(ins[..., :-1], gt_label, args.ins_num)
+            pl, ap, matched = ins_eval_from_labels(
+                label.reshape(H, W), conf.reshape(H, W), gt_label, args.ins_num)
             valid_gt = np.unique(gt_label)
             for idx, plab in enumerate(matched):
                 if plab != -1:
@@ -164,11 +164,11 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
             tar_os.append(t_o)
             tar_ds.append(t_d)
 
-        rgb, ins, _, _ = _run_edit_image(run_chunk, ori_o, ori_d,
-                                         np.stack(tar_os), np.stack(tar_ds),
-                                         args.N_test)
+        rgb, label_full, _, _ = _run_edit_image(run_chunk, ori_o, ori_d,
+                                                np.stack(tar_os), np.stack(tar_ds),
+                                                args.N_test)
         rgb = rgb.reshape(H, W, 3)
-        label = np.argmax(ins.reshape(H, W, -1), -1)
+        label = label_full.reshape(H, W)
         imageio.imwrite(os.path.join(save_dir, f"{i}_rgb.png"), to8b(rgb))
         ins_img = render_label2img(label, ins_rgbs, color_dict, ins_map or {})
         imageio.imwrite(os.path.join(save_dir, f"{i}_ins.png"), ins_img)
