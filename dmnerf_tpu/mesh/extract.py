@@ -35,21 +35,73 @@ from dmnerf_tpu.models.fields import FieldConfig, apply_field
 from dmnerf_tpu.utils.viz import render_label2world
 
 
-def make_density_fn(cfg: FieldConfig, chunk: int):
-    """Chunked density query with zero viewdirs (mesh_generator.py:43)."""
+def make_density_fn(cfg: FieldConfig, chunk: int, super_mult: int = 512):
+    """Chunked density query with zero viewdirs (mesh_generator.py:43).
+
+    Chunks run as lax.map inside one jit over super-batches of
+    chunk*super_mult points: a 256^3 grid is ~8 dispatches instead of ~4096
+    (each dispatch costs ~5 ms of tunnel latency)."""
 
     @jax.jit
-    def density_chunk(params, pts):
-        raw = apply_field(params, cfg, pts, jnp.zeros_like(pts))
-        return raw[..., 3]
+    def density_super(params, pts):
+        def one(p):
+            raw = apply_field(params, cfg, p, jnp.zeros_like(p))
+            return raw[..., 3]
+        return jax.lax.map(one, pts.reshape(super_mult, chunk, 3)).reshape(-1)
 
     def query(params, pts_np: np.ndarray) -> np.ndarray:
+        sup = chunk * super_mult
         n = pts_np.shape[0]
-        n_pad = (-n) % chunk
+        n_pad = (-n) % sup
         pts = np.concatenate([pts_np, np.zeros((n_pad, 3), pts_np.dtype)], 0) \
             if n_pad else pts_np
-        out = [np.asarray(density_chunk(params, jnp.asarray(pts[s:s + chunk])))
-               for s in range(0, len(pts), chunk)]
+        out = [np.asarray(density_super(params, jnp.asarray(pts[s:s + sup])))
+               for s in range(0, len(pts), sup)]
+        return np.concatenate(out)[:n]
+
+    return query
+
+
+def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64):
+    """Vertex-coloring ray renderer -> per-vertex argmax instance label.
+
+    Full coarse->fine render (mesh_generator.py:106-137) with the reference's
+    FIXED near=0.01/far=15 coloring bounds, lax.map'd over chunks inside one
+    jit per super-batch, label argmax reduced ON DEVICE (the full [n, K] ins
+    map is ~130x the D2H bytes of the labels over the tunnel)."""
+    from dmnerf_tpu.core.rendering import render_rays
+    from dmnerf_tpu.core.sampling import z_val_sample
+    from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
+
+    if getattr(args, "use_pallas", True) and jax.default_backend() == "tpu":
+        field = make_pallas_field(cfg)
+    else:
+        field = lambda p, pts, vd: apply_field(p, cfg, pts, vd)
+
+    @jax.jit
+    def labels_super(params, ro, rd):
+        coarse_fn = lambda pts, vd: field(params["coarse"], pts, vd)
+        fine_fn = lambda pts, vd: field(params["fine"], pts, vd)
+        z = z_val_sample(chunk, 0.01, 15.0, args.N_samples)
+
+        def one(c):
+            out = render_rays(coarse_fn, fine_fn, c[0], c[1], z,
+                              args.N_importance, key=None, perturb=False)
+            return jnp.argmax(out["ins_fine"], -1).astype(jnp.int32)
+
+        return jax.lax.map(one, (ro.reshape(super_mult, chunk, 3),
+                                 rd.reshape(super_mult, chunk, 3))).reshape(-1)
+
+    def query(params, rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
+        sup = chunk * super_mult
+        n = rays_o.shape[0]
+        n_pad = (-n) % sup
+        if n_pad:
+            rays_o = np.concatenate([rays_o, np.zeros((n_pad, 3), rays_o.dtype)], 0)
+            rays_d = np.concatenate([rays_d, np.ones((n_pad, 3), rays_d.dtype)], 0)
+        out = [np.asarray(labels_super(params, jnp.asarray(rays_o[s:s + sup]),
+                                       jnp.asarray(rays_d[s:s + sup])))
+               for s in range(0, len(rays_o), sup)]
         return np.concatenate(out)[:n]
 
     return query
@@ -116,13 +168,8 @@ def extract_mesh(params, cfg: FieldConfig, args,
     # vertex-coloring rays march from just behind the vertex: the reference
     # uses FIXED near=0.01/far=15 here (mesh_generator.py:119), NOT the scene
     # near/far — scene near would start the ray past the surface
-    from dmnerf_tpu.eval.renderer import make_chunk_renderer, render_rays_chunked
-    color_chunk = make_chunk_renderer(cfg, args.N_samples, args.N_importance,
-                                      0.01, 15.0, args.N_test)
-    _, ins, _ = render_rays_chunked(color_chunk, params,
-                                    rays_o.astype(np.float32),
-                                    rays_d.astype(np.float32), args.N_test)
-    labels = np.argmax(ins, axis=-1)
+    labels = make_label_fn(cfg, args, args.N_test)(
+        params, rays_o.astype(np.float32), rays_d.astype(np.float32))
 
     if ins_rgbs is not None and color_dict is not None and ins_map is not None:
         colors = render_label2world(labels, ins_rgbs, color_dict, ins_map)

@@ -265,3 +265,36 @@ def test_marching_cubes_matches_tetrahedra_topology():
     vc, fc, _ = marching_cubes(vol, 0.3, use_native=False)
     vt, ft, _ = marching_tetrahedra(vol, 0.3, use_native=False)
     assert abs(area(vc, fc) - area(vt, ft)) / area(vt, ft) < 0.03
+
+
+def test_extract_mesh_end_to_end(tmp_path):
+    """Full pipeline on a tiny trained-ish field: density grid -> marching
+    cubes -> cleanup -> vertex labels -> both PLY artifacts
+    (mesh_generator.py:12-143)."""
+    import os
+
+    import jax
+    import numpy as np
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.mesh.extract import extract_mesh
+    from dmnerf_tpu.mesh.ply import read_ply
+    from dmnerf_tpu.models.fields import FieldConfig
+    from dmnerf_tpu.train.step import create_train_state
+
+    args = default_config(N_test=64, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4, multires_views=2,
+                          mesh_grid_dim=20, mesh_level=0.45,
+                          mesh_extents="8,8,8", expname="tiny")
+    args.ins_num = 4
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    verts, faces, labels = extract_mesh(state.params, cfg, args, None,
+                                        str(tmp_path), ins_rgbs=None)
+    assert os.path.exists(os.path.join(tmp_path, "tiny.ply"))
+    if len(faces):  # an untrained field may or may not cross the iso level
+        assert os.path.exists(os.path.join(tmp_path, "color_tiny.ply"))
+        assert labels.shape[0] == verts.shape[0]
+        v2, f2 = read_ply(os.path.join(tmp_path, "tiny.ply"))
+        assert len(v2) > 0 and len(f2) > 0
