@@ -55,8 +55,16 @@ def render_test(render_im, params, render_poses, hwk, args,
     full_map = {}
 
     if crop_mask is not None:
-        flat_mask = np.asarray(crop_mask).reshape(-1) == 1
+        cm = np.asarray(crop_mask)
+        flat_mask = cm.reshape(-1) == 1
         ch, cw = args.crop_height, args.crop_width
+        if not ch or not cw:
+            # infer the crop rectangle from the mask (the scannet configs set
+            # the flags, loader-made masks may not; the mask IS the rectangle)
+            rows = np.where(cm.any(1))[0]
+            cols = np.where(cm.any(0))[0]
+            ch = int(rows[-1] - rows[0] + 1)
+            cw = int(cols[-1] - cols[0] + 1)
 
     if color_dict is None:
         color_dict = {str(i): i for i in range(len(ins_rgbs))} if ins_rgbs is not None else {}

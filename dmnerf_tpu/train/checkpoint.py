@@ -23,7 +23,9 @@ _CKPT_RE = re.compile(r"^ckpt_(\d{6,})$")
 def save_checkpoint(log_dir: str, state: TrainState, step: int) -> str:
     path = os.path.abspath(os.path.join(log_dir, f"ckpt_{step:06d}"))
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state))
+        # force=True: re-running into the same log_time overwrites, like the
+        # reference's torch.save of {iter}.tar (train_dmsr.py:78-86)
+        ckptr.save(path, jax.device_get(state), force=True)
     return path
 
 

@@ -119,3 +119,27 @@ def test_loop_tail_dispatch(tmp_path):
     args.seed = 0
     s = train(args, scene, n_iters=7, eval_every=0, scan_steps=4)
     assert int(s.step) == 7
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """--profile_steps N captures a jax.profiler trace of steady-state
+    dispatches into {logdir}/profile (SURVEY §5: reference has no tracing)."""
+    import glob
+    import os
+
+    from dmnerf_tpu.train.loop import train
+
+    scene = make_scene(H=16, W=16, n_train=2, n_test=1)
+    args = tiny_args()
+    args.expname = "prof_t"
+    args.basedir = str(tmp_path)
+    args.log_time = "t"
+    args.i_print = 2
+    args.i_save = 100
+    args.i_test = 0
+    args.seed = 0
+    args.profile_steps = 1
+    train(args, scene, n_iters=4, eval_every=0, scan_steps=2)
+    prof = os.path.join(str(tmp_path), "prof_t", "t", "profile")
+    assert glob.glob(os.path.join(prof, "**", "*.trace.json.gz"),
+                     recursive=True), "no trace written"

@@ -182,3 +182,30 @@ def test_render_test_full_path_sharded_matches_single(tmp_path):
     a, b = rows["single"], rows["sharded"]
     np.testing.assert_allclose(np.delete(a, 2, axis=1), np.delete(b, 2, axis=1),
                                rtol=0, atol=1e-6)
+
+
+def test_render_test_crop_infers_dims_from_mask(tmp_path):
+    """crop_mask without crop_height/width flags (synthetic crop scene): the
+    rectangle is inferred from the mask instead of crashing."""
+    import os
+
+    from dmnerf_tpu.data.synthetic import make_scene_crop
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+    from dmnerf_tpu.eval.tester import render_test
+
+    scene = make_scene_crop(H=16, W=16, n_train=1, n_test=1)
+    args = default_config(N_test=64, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4, multires_views=2)
+    assert args.crop_height is None or not args.crop_height
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    render_im = make_image_renderer(cfg, args, scene.H, scene.W)
+    out = render_test(render_im, state.params, scene.poses[scene.i_test],
+                      scene.hwk, args, gt_imgs=scene.images[scene.i_test],
+                      gt_labels=scene.gt_labels[scene.i_test],
+                      ins_rgbs=scene.ins_rgbs, savedir=str(tmp_path),
+                      crop_mask=scene.crop_mask)
+    assert out is not None
+    assert os.path.exists(os.path.join(tmp_path, "test_results.txt"))
