@@ -54,7 +54,10 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
     # reference scenes have ~30 object slots; synthetic scene supplies labels
     args.ins_num = 32
     cfg = FieldConfig.from_args(args)
-    n_chips = max(len(jax.devices()), 1)
+    # this bench runs WITHOUT a mesh (the driver's box exposes one chip);
+    # dividing by len(jax.devices()) would misreport per-chip rates on a
+    # multi-chip host where the un-meshed work runs on device 0 only
+    n_chips = 1
 
     # ---- train path ----
     state = create_train_state(jax.random.PRNGKey(0), cfg, args.lrate, args.lrate_decay)

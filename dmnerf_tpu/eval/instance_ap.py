@@ -116,7 +116,11 @@ def ins_eval_from_labels(pred_label: np.ndarray, conf_map: np.ndarray,
     if mask is not None:
         pred_label = pred_label.copy()
         pred_label[mask == 0] = ins_num
-        valid_pred_labels = np.unique(pred_label)[:-1]
+        # the reference drops unique()[:-1] assuming ins_num is present
+        # (evaluator.py:133); filtering by value is identical whenever it is,
+        # and correct when an all-ones mask leaves no air pixel
+        valid_pred_labels = np.unique(pred_label)
+        valid_pred_labels = valid_pred_labels[valid_pred_labels != ins_num]
     else:
         valid_pred_labels = np.unique(pred_label)
     valid_pred_num = len(valid_pred_labels)

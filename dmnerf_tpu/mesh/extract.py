@@ -42,20 +42,25 @@ def make_density_fn(cfg: FieldConfig, chunk: int, super_mult: int = 512):
     chunk*super_mult points: a 256^3 grid is ~8 dispatches instead of ~4096
     (each dispatch costs ~5 ms of tunnel latency)."""
 
-    @jax.jit
-    def density_super(params, pts):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def density_super(params, pts, sm):
         def one(p):
             raw = apply_field(params, cfg, p, jnp.zeros_like(p))
             return raw[..., 3]
-        return jax.lax.map(one, pts.reshape(super_mult, chunk, 3)).reshape(-1)
+        return jax.lax.map(one, pts.reshape(sm, chunk, 3)).reshape(-1)
 
     def query(params, pts_np: np.ndarray) -> np.ndarray:
-        sup = chunk * super_mult
+        # cap the super-batch by the workload: a tiny grid must not pad up to
+        # chunk*super_mult points of wasted field evaluations
+        sm = max(1, min(super_mult, -(-pts_np.shape[0] // chunk)))
+        sup = chunk * sm
         n = pts_np.shape[0]
         n_pad = (-n) % sup
         pts = np.concatenate([pts_np, np.zeros((n_pad, 3), pts_np.dtype)], 0) \
             if n_pad else pts_np
-        out = [np.asarray(density_super(params, jnp.asarray(pts[s:s + sup])))
+        out = [np.asarray(density_super(params, jnp.asarray(pts[s:s + sup]), sm))
                for s in range(0, len(pts), sup)]
         return np.concatenate(out)[:n]
 
@@ -78,8 +83,10 @@ def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64):
     else:
         field = lambda p, pts, vd: apply_field(p, cfg, pts, vd)
 
-    @jax.jit
-    def labels_super(params, ro, rd):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def labels_super(params, ro, rd, sm):
         coarse_fn = lambda pts, vd: field(params["coarse"], pts, vd)
         fine_fn = lambda pts, vd: field(params["fine"], pts, vd)
         z = z_val_sample(chunk, 0.01, 15.0, args.N_samples)
@@ -89,18 +96,19 @@ def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64):
                               args.N_importance, key=None, perturb=False)
             return jnp.argmax(out["ins_fine"], -1).astype(jnp.int32)
 
-        return jax.lax.map(one, (ro.reshape(super_mult, chunk, 3),
-                                 rd.reshape(super_mult, chunk, 3))).reshape(-1)
+        return jax.lax.map(one, (ro.reshape(sm, chunk, 3),
+                                 rd.reshape(sm, chunk, 3))).reshape(-1)
 
     def query(params, rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
-        sup = chunk * super_mult
+        sm = max(1, min(super_mult, -(-rays_o.shape[0] // chunk)))
+        sup = chunk * sm
         n = rays_o.shape[0]
         n_pad = (-n) % sup
         if n_pad:
             rays_o = np.concatenate([rays_o, np.zeros((n_pad, 3), rays_o.dtype)], 0)
             rays_d = np.concatenate([rays_d, np.ones((n_pad, 3), rays_d.dtype)], 0)
         out = [np.asarray(labels_super(params, jnp.asarray(rays_o[s:s + sup]),
-                                       jnp.asarray(rays_d[s:s + sup])))
+                                       jnp.asarray(rays_d[s:s + sup]), sm))
                for s in range(0, len(rays_o), sup)]
         return np.concatenate(out)[:n]
 

@@ -55,9 +55,12 @@ def oriented_bounds(vertices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     except Exception:
         return oriented_bounds_pca(v)
     hv = v[hull.vertices]
-    # unique face normals (deduplicate by rounded direction, sign-canonical)
+    # unique face normals, sign-canonicalized on the first nonzero component
+    # so n and -n dedup to one row
     normals = hull.equations[:, :3]
-    normals = normals * np.where(normals[:, [2, 1, 0]].sum(1, keepdims=True) < 0, -1, 1)
+    first_nz = normals[np.arange(len(normals)),
+                       np.argmax(np.abs(normals) > 1e-12, axis=1)]
+    normals = normals * np.where(first_nz < 0, -1.0, 1.0)[:, None]
     normals = np.unique(np.round(normals, 9), axis=0)
 
     best = (np.inf, None, None)

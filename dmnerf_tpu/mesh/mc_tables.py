@@ -46,24 +46,34 @@ _EDGE_OF = {frozenset(e): i for i, e in enumerate(map(tuple, EDGES))}
 MAX_TRIS = 5  # a cube case yields at most 5 triangles under this rule
 
 
+# outward unit normals of _FACES, same order
+_FACE_N = np.array([
+    (0, 0, -1), (0, 0, 1),
+    (0, -1, 0), (0, 1, 0),
+    (-1, 0, 0), (1, 0, 0),
+], np.float64)
+
+
 def _case_polygons(case: int) -> List[List[int]]:
-    """Isosurface polygons (lists of cut-edge indices) for one sign case."""
+    """Isosurface polygons (lists of cut-edge indices) for one sign case,
+    consistently oriented."""
     inside = [(case >> i) & 1 for i in range(8)]
     cut = [i for i, (a, b) in enumerate(EDGES) if inside[a] != inside[b]]
     if not cut:
         return []
 
     # pairing of cut edges per face: each cut edge gets one partner per
-    # adjacent face -> every cut edge has exactly two links -> cycles
+    # adjacent face -> every cut edge has exactly two links -> cycles.
+    # Record the face of each link for the orientation rule below.
     links = {e: [] for e in cut}
-    for face in _FACES:
+    for fi, face in enumerate(_FACES):
         fedges = [_EDGE_OF[frozenset((face[k], face[(k + 1) % 4]))]
                   for k in range(4)]
         fcut = [e for e in fedges if e in links]
         if len(fcut) == 2:
             a, b = fcut
-            links[a].append(b)
-            links[b].append(a)
+            links[a].append((b, fi))
+            links[b].append((a, fi))
         elif len(fcut) == 4:
             # saddle: pair edges sharing an INSIDE corner (separates the two
             # inside corners; sign-symmetric across neighboring cubes)
@@ -72,44 +82,50 @@ def _case_polygons(case: int) -> List[List[int]]:
                     ei, ej = fedges[i], fedges[j]
                     shared = set(EDGES[ei]) & set(EDGES[ej])
                     if shared and inside[shared.pop()]:
-                        links[ei].append(ej)
-                        links[ej].append(ei)
+                        links[ei].append((ej, fi))
+                        links[ej].append((ei, fi))
 
     for e, l in links.items():
         assert len(l) == 2, (case, e, l)
 
+    mids = (CORNERS[EDGES[:, 0]] + CORNERS[EDGES[:, 1]]) / 2.0
     polys = []
     todo = set(cut)
     while todo:
         start = min(todo)
         poly = [start]
+        faces_used = []
         todo.discard(start)
         prev, cur = None, start
         while True:
-            nxt = links[cur][0] if links[cur][0] != prev else links[cur][1]
+            nxt, fi = links[cur][0] if links[cur][0][0] != prev else links[cur][1]
+            faces_used.append(fi)
             if nxt == start:
                 break
             poly.append(nxt)
             todo.discard(nxt)
             prev, cur = cur, nxt
-        polys.append(poly)
 
-    # orient each polygon: Newell normal points from inside toward outside
-    mids = (CORNERS[EDGES[:, 0]] + CORNERS[EDGES[:, 1]]) / 2.0
-    c_in = CORNERS[[i for i in range(8) if inside[i]]].mean(0)
-    c_out = CORNERS[[i for i in range(8) if not inside[i]]].mean(0)
-    d = c_out - c_in
-    oriented = []
-    for poly in polys:
-        pts = mids[poly]
-        n = np.zeros(3)
-        for k in range(len(pts)):
-            a, b = pts[k], pts[(k + 1) % len(pts)]
-            n += np.cross(a, b)
-        if np.dot(n, d) < 0:
+        # Orientation is decided PER FACE SEGMENT, which both cubes sharing a
+        # face evaluate with opposite outward normals -> globally consistent
+        # winding (a centroid/gradient heuristic is NOT: point-symmetric cases
+        # degenerate and noisy gradients flip neighbors independently).
+        # Rule: traverse each face's isoline with the INSIDE region on the
+        # left when viewed from outside the cube. For the first segment
+        # eA->eB on face F: keep iff dot(cross(n_F, s), inside_dir) > 0 where
+        # s = mid(eB)-mid(eA) and inside_dir points from the segment toward
+        # eA's inside corner (which lies on F). Empirically validated against
+        # per-case exhaustive neighbor checks + the ascent-normal convention
+        # (tests/test_mesh.py winding + sphere tests).
+        eA, eB = poly[0], poly[1 % len(poly)]
+        fi0 = faces_used[0]
+        s = mids[eB] - mids[eA]
+        iA = EDGES[eA][0] if inside[EDGES[eA][0]] else EDGES[eA][1]
+        inside_dir = CORNERS[iA] - mids[eA]
+        if np.dot(np.cross(_FACE_N[fi0], s), inside_dir) < 0:
             poly = poly[::-1]
-        oriented.append(poly)
-    return oriented
+        polys.append(poly)
+    return polys
 
 
 @functools.lru_cache(maxsize=1)

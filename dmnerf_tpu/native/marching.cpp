@@ -162,14 +162,22 @@ PyObject* marching_tetrahedra(PyObject*, PyObject* args) {
   npy_intp fdims[2] = {static_cast<npy_intp>(faces.size() / 3), 3};
   PyObject* varr = PyArray_SimpleNew(2, vdims, NPY_FLOAT64);
   PyObject* farr = PyArray_SimpleNew(2, fdims, NPY_INT64);
-  if (!varr || !farr) return nullptr;
+  if (!varr || !farr) {
+    Py_XDECREF(varr);
+    Py_XDECREF(farr);
+    return nullptr;
+  }
   if (!verts.empty())
     memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(varr)), verts.data(),
            verts.size() * sizeof(V3));
   if (!faces.empty())
     memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(farr)), faces.data(),
            faces.size() * sizeof(int64_t));
-  return PyTuple_Pack(2, varr, farr);
+  // PyTuple_Pack takes new references; drop ours or the arrays leak
+  PyObject* out = PyTuple_Pack(2, varr, farr);
+  Py_DECREF(varr);
+  Py_DECREF(farr);
+  return out;
 }
 
 // Marching cubes with caller-supplied tables (generated by
@@ -268,14 +276,22 @@ PyObject* marching_cubes(PyObject*, PyObject* args) {
   npy_intp fdims[2] = {static_cast<npy_intp>(faces.size() / 3), 3};
   PyObject* varr = PyArray_SimpleNew(2, vdims, NPY_FLOAT64);
   PyObject* farr = PyArray_SimpleNew(2, fdims, NPY_INT64);
-  if (!varr || !farr) return nullptr;
+  if (!varr || !farr) {
+    Py_XDECREF(varr);
+    Py_XDECREF(farr);
+    return nullptr;
+  }
   if (!verts.empty())
     memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(varr)), verts.data(),
            verts.size() * sizeof(V3));
   if (!faces.empty())
     memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(farr)), faces.data(),
            faces.size() * sizeof(int64_t));
-  return PyTuple_Pack(2, varr, farr);
+  // PyTuple_Pack takes new references; drop ours or the arrays leak
+  PyObject* out = PyTuple_Pack(2, varr, farr);
+  Py_DECREF(varr);
+  Py_DECREF(farr);
+  return out;
 }
 
 PyMethodDef methods[] = {

@@ -33,11 +33,13 @@ from dmnerf_tpu.train.step import create_train_state, make_train_scan_step
 
 
 def _scan_stride(args, n_iters: int, eval_every: int) -> int:
-    """Largest stride <= 100 that lands exactly on every print/save/eval step."""
-    k = gcd(int(args.i_print), int(args.i_save))
+    """Largest DIVISOR of the print/save/eval cadences <= 100 (min(gcd, 100)
+    would not divide them when gcd > 100)."""
+    g = gcd(int(args.i_print), int(args.i_save))
     if eval_every:
-        k = gcd(k, int(eval_every))
-    return max(1, min(k, 100))
+        g = gcd(g, int(eval_every))
+    g = max(1, g)
+    return next(d for d in range(min(g, 100), 0, -1) if g % d == 0)
 
 
 def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
@@ -108,7 +110,14 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
             profile_steps = 0
         rays_done += args.N_train * ran
 
-        if done % args.i_print == 0 or done == n_iters:
+        # cadence triggers fire on CROSSING each multiple (not exact
+        # divisibility) so a user --scan_steps that doesn't divide a cadence
+        # still prints/saves/evals at the first dispatch past it
+        prev = done - ran
+        def crossed(every):
+            return every and (done // every) > (prev // every)
+
+        if crossed(args.i_print) or done == n_iters:
             m = {k_: float(v) for k_, v in metrics.items()}
             dt = time.time() - t_window
             rps = rays_done / dt if dt > 0 else 0.0
@@ -127,10 +136,10 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
             t_window = time.time()
             rays_done = 0
 
-        if done % args.i_save == 0:
+        if crossed(args.i_save):
             save_checkpoint(ldir, state, done)
 
-        if eval_every and done % eval_every == 0 and done < n_iters:
+        if crossed(eval_every) and done < n_iters:
             if render_chunk is None:
                 from dmnerf_tpu.eval.renderer import make_image_renderer
                 render_chunk = make_image_renderer(

@@ -298,3 +298,42 @@ def test_extract_mesh_end_to_end(tmp_path):
         assert labels.shape[0] == verts.shape[0]
         v2, f2 = read_ply(os.path.join(tmp_path, "tiny.ply"))
         assert len(v2) > 0 and len(f2) > 0
+
+
+def test_marching_cubes_winding_consistent_random_volume():
+    """Consistent global face orientation: every interior edge must be
+    traversed once in each direction (a smoothed random volume hits the
+    point-symmetric sign cases where a naive global inside/outside centroid
+    rule degenerates)."""
+    import collections
+
+    import numpy as np
+    from dmnerf_tpu.mesh.marching import marching_cubes
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(14, 14, 14)).astype(np.float32)
+    # light smoothing so surfaces span cells but saddles remain
+    for ax in range(3):
+        vol = (vol + np.roll(vol, 1, ax) + np.roll(vol, -1, ax)) / 3.0
+    for use_native in (False, True):
+        verts, faces, _ = marching_cubes(vol, 0.0, use_native=use_native)
+        assert len(faces) > 100
+        directed = collections.Counter()
+        for a, b, c in faces:
+            for u, v in ((a, b), (b, c), (c, a)):
+                directed[(u, v)] += 1
+        # consistency = every undirected INTERIOR edge is traversed equally in
+        # both directions (the isosurface is clipped open at the volume
+        # boundary, so once-traversed edges are expected; chords shared by two
+        # sheets appear 2+2)
+        bad = 0
+        seen = set()
+        for (u, v), cnt in directed.items():
+            if (v, u) in seen or (u, v) in seen:
+                continue
+            seen.add((u, v))
+            other = directed.get((v, u), 0)
+            total = cnt + other
+            if total >= 2 and cnt != other:
+                bad += 1
+        assert bad == 0, f"{bad} direction-unbalanced interior edges"

@@ -143,3 +143,30 @@ def test_profile_steps_writes_trace(tmp_path):
     prof = os.path.join(str(tmp_path), "prof_t", "t", "profile")
     assert glob.glob(os.path.join(prof, "**", "*.trace.json.gz"),
                      recursive=True), "no trace written"
+
+
+def test_loop_cadences_fire_with_non_dividing_stride(tmp_path):
+    """--scan_steps that doesn't divide i_save/i_print: triggers fire on
+    crossing each multiple instead of silently never (code-review r2)."""
+    import glob
+    import os
+
+    from dmnerf_tpu.train.loop import train
+
+    scene = make_scene(H=16, W=16, n_train=2, n_test=1)
+    args = tiny_args()
+    args.expname = "stride_t"
+    args.basedir = str(tmp_path)
+    args.log_time = "t"
+    args.i_print = 4
+    args.i_save = 4
+    args.i_test = 0
+    args.seed = 0
+    s = train(args, scene, n_iters=10, eval_every=0, scan_steps=3)
+    assert int(s.step) == 10
+    ldir = os.path.join(str(tmp_path), "stride_t", "t")
+    # save multiples 4 and 8 crossed at done=6 and done=9
+    ckpts = sorted(os.path.basename(p) for p in glob.glob(os.path.join(ldir, "ckpt_*")))
+    assert ckpts == ["ckpt_000006", "ckpt_000009"], ckpts
+    rows = [l for l in open(os.path.join(ldir, "metrics.jsonl"))]
+    assert len(rows) >= 3  # printed at 6, 9, 10(final)
