@@ -33,9 +33,9 @@ def _full_rays(H, W, K, c2w):
     return np.asarray(ro).reshape(-1, 3), np.asarray(rd).reshape(-1, 3)
 
 
-def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
-    """One-dispatch edit over one image's rays. tar_os/tar_ds: [n_obj, H*W, 3].
-    Returns (rgb, label_full, label_noair, conf_noair) as numpy."""
+def _dispatch_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
+    """Dispatch a one-jit edit over one image's rays WITHOUT fetching.
+    tar_os/tar_ds: [n_obj, H*W, 3]. Returns (device_outs, n)."""
     n = ori_o.shape[0]
     n_pad = (-n) % chunk
 
@@ -51,7 +51,20 @@ def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
     tar_os, tar_ds = pad(tar_os, 1), pad(tar_ds, 1)
     outs = run_image(jnp.asarray(ori_o), jnp.asarray(ori_d),
                      jnp.asarray(tar_os), jnp.asarray(tar_ds))
+    return outs, n
+
+
+def _fetch_edit_image(dispatched):
+    """Fetch a _dispatch_edit_image result as numpy: (rgb, label_full,
+    label_noair, conf_noair)."""
+    outs, n = dispatched
     return tuple(np.asarray(x)[:n] for x in outs)
+
+
+def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
+    """One-dispatch edit over one image's rays (synchronous form)."""
+    return _fetch_edit_image(
+        _dispatch_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk))
 
 
 def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgbs,
@@ -77,14 +90,25 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
     lpips_fn = load_lpips(getattr(args, "lpips_weights", None))
 
     psnrs, ssims, lpipses, aps, full_map = [], [], [], [], {}
-    for i, ori_pose in enumerate(np.asarray(ori_poses)):
-        t0 = time.time()
+
+    def _dispatch(ori_pose):
         ori_o, ori_d = _full_rays(H, W, K, ori_pose)
         tar_pose = trans @ ori_pose
         tar_o, tar_d = _full_rays(H, W, K, tar_pose)
+        return _dispatch_edit_image(run_chunk, ori_o, ori_d,
+                                    tar_o[None], tar_d[None], args.N_test)
 
-        rgb, label_full, label, conf = _run_edit_image(
-            run_chunk, ori_o, ori_d, tar_o[None], tar_d[None], args.N_test)
+    # one-deep prefetch: view i+1's device edit overlaps view i's D2H fetch
+    # and the host-side metric/PNG work below
+    poses_np = np.asarray(ori_poses)
+    pending = _dispatch(poses_np[0]) if len(poses_np) else None
+    for i, ori_pose in enumerate(poses_np):
+        t0 = time.time()
+        if i + 1 < len(poses_np):
+            nxt = _dispatch(poses_np[i + 1])
+        rgb, label_full, label, conf = _fetch_edit_image(pending)
+        if i + 1 < len(poses_np):
+            pending = nxt
         rgb = rgb.reshape(H, W, 3)
 
         ins_map = {}
@@ -150,8 +174,8 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
                                        use_pallas=getattr(args, "use_pallas", False))
 
     import imageio.v2 as imageio
-    for i, ori_pose in enumerate(np.asarray(view_poses)):
-        t0 = time.time()
+
+    def _dispatch(i, ori_pose):
         ori_o, ori_d = _full_rays(H, W, K, ori_pose)
         tar_os, tar_ds = [], []
         for obj in objs:
@@ -163,10 +187,19 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
                 t_o, t_d = _full_rays(H, W, K, trans @ ori_pose)
             tar_os.append(t_o)
             tar_ds.append(t_d)
+        return _dispatch_edit_image(run_chunk, ori_o, ori_d, np.stack(tar_os),
+                                    np.stack(tar_ds), args.N_test)
 
-        rgb, label_full, _, _ = _run_edit_image(run_chunk, ori_o, ori_d,
-                                                np.stack(tar_os), np.stack(tar_ds),
-                                                args.N_test)
+    # one-deep prefetch, same rationale as manipulator_eval
+    poses_np = np.asarray(view_poses)
+    pending = _dispatch(0, poses_np[0]) if len(poses_np) else None
+    for i, ori_pose in enumerate(poses_np):
+        t0 = time.time()
+        if i + 1 < len(poses_np):
+            nxt = _dispatch(i + 1, poses_np[i + 1])
+        rgb, label_full, _, _ = _fetch_edit_image(pending)
+        if i + 1 < len(poses_np):
+            pending = nxt
         rgb = rgb.reshape(H, W, 3)
         label = label_full.reshape(H, W)
         imageio.imwrite(os.path.join(save_dir, f"{i}_rgb.png"), to8b(rgb))

@@ -156,4 +156,20 @@ def make_image_renderer(cfg: FieldConfig, args, H: int, W: int, mesh=None,
         out = render_im_dev(params, jnp.asarray(K), jnp.asarray(c2w))
         return tuple(np.asarray(x) for x in jax.device_get(out))
 
+    def render_many(params, K, c2ws):
+        """Pipelined multi-view render: yields one (rgb, label, conf, depth)
+        numpy tuple per pose, dispatching view i+1 BEFORE fetching view i so
+        the ~55 ms/image D2H (tunnel-bandwidth-bound) overlaps the next
+        image's device compute instead of serializing after it."""
+        K = jnp.asarray(K)
+        pending = None
+        for c2w in c2ws:
+            cur = render_im_dev(params, K, jnp.asarray(c2w))
+            if pending is not None:
+                yield tuple(np.asarray(x) for x in jax.device_get(pending))
+            pending = cur
+        if pending is not None:
+            yield tuple(np.asarray(x) for x in jax.device_get(pending))
+
+    render_im.many = render_many
     return render_im

@@ -69,14 +69,23 @@ def render_test(render_im, params, render_poses, hwk, args,
     if color_dict is None:
         color_dict = {str(i): i for i in range(len(ins_rgbs))} if ins_rgbs is not None else {}
 
-    for i, c2w in enumerate(np.asarray(render_poses)):
+    poses_np = np.asarray(render_poses)
+    # pipelined path: view i+1's device render overlaps view i's D2H fetch AND
+    # the host-side metric/PNG work below (eval.renderer.render_many)
+    stream = render_im.many(params, K, poses_np) if hasattr(render_im, "many") \
+        else None
+
+    for i, c2w in enumerate(poses_np):
         t0 = time.time()
-        try:
-            rgb, label, conf, _ = render_im(params, K, c2w)
-        except TypeError:  # legacy chunk renderer signature
-            rgb, ins, _ = render_image(render_im, params, H, W, K, c2w, args.N_test)
-            label = np.argmax(ins, -1)
-            conf = ins.max(-1)
+        if stream is not None:
+            rgb, label, conf, _ = next(stream)
+        else:
+            try:
+                rgb, label, conf, _ = render_im(params, K, c2w)
+            except TypeError:  # legacy chunk renderer signature
+                rgb, ins, _ = render_image(render_im, params, H, W, K, c2w, args.N_test)
+                label = np.argmax(ins, -1)
+                conf = ins.max(-1)
 
         gt_img = None if gt_imgs is None else np.asarray(gt_imgs[i])
         gt_label = None if gt_labels is None else np.asarray(gt_labels[i])

@@ -108,7 +108,8 @@ def ins_criterion_pair(pred_coarse: jnp.ndarray, pred_fine: jnp.ndarray,
     ce_f, siou_f = cost_matrices(pred_fine, gt, logits_fine)
     cost = jnp.stack([ce_c + siou_c, ce_f + siou_f])
     cost = jnp.where(row_valid[None, :, None], cost, 0.0)
-    col4rows = jax.vmap(lap_square)(cost)  # [2, K]
+    # n_valid skips the padding rows' Dijkstra phases (latency-bound, ops/lap.py)
+    col4rows = jax.vmap(lambda c: lap_square(c, valid_num))(cost)  # [2, K]
     out = []
     for ce, siou, col4row, pred in ((ce_c, siou_c, col4rows[0], pred_coarse),
                                     (ce_f, siou_f, col4rows[1], pred_fine)):
@@ -126,7 +127,7 @@ def ins_loss_from_stats(cost_ce, cost_siou, col_mean_pred,
     on [K, K] arrays.
     """
     cost = jnp.where(row_valid[:, None], cost_ce + cost_siou, 0.0)
-    col4row = lap_square(cost)  # [K]
+    col4row = lap_square(cost, valid_num)  # [K]
     return _matched_loss(cost_ce, cost_siou, col_mean_pred, row_valid,
                          valid_num, ins_num, col4row)
 

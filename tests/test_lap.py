@@ -36,6 +36,34 @@ def test_lap_rectangular_via_constant_padding():
     np.testing.assert_allclose(ours, cost[r, c].sum(), rtol=1e-5)
 
 
+@pytest.mark.parametrize("n,valid", [(12, 7), (33, 1), (33, 33), (16, 0), (8, 3)])
+def test_lap_n_valid_matches_scipy(n, valid):
+    """n_valid skips padding-row phases; optimum over valid rows must be exact
+    and the output must still be a permutation."""
+    rng = np.random.default_rng(n * 100 + valid)
+    cost = rng.uniform(0, 5, size=(n, n)).astype(np.float32)
+    # garbage in padding rows must be ignored
+    cost[valid:] = rng.uniform(-50, 50, size=(n - valid, n))
+    col4row = np.asarray(lap_square(jnp.asarray(cost), valid))
+    assert sorted(col4row.tolist()) == list(range(n))
+    if valid:
+        ours = cost[np.arange(valid), col4row[:valid]].sum()
+        r, c = linear_sum_assignment(cost[:valid])
+        np.testing.assert_allclose(ours, cost[:valid][r, c].sum(), rtol=1e-5)
+
+
+def test_lap_n_valid_traced():
+    """n_valid as a traced scalar under jit (how the train step passes it)."""
+    rng = np.random.default_rng(7)
+    cost = rng.uniform(0, 5, size=(10, 10)).astype(np.float32)
+    f = jax.jit(lambda c, nv: lap_square(c, nv))
+    col4row = np.asarray(f(jnp.asarray(cost), jnp.int32(6)))
+    assert sorted(col4row.tolist()) == list(range(10))
+    r, c = linear_sum_assignment(cost[:6])
+    np.testing.assert_allclose(
+        cost[np.arange(6), col4row[:6]].sum(), cost[:6][r, c].sum(), rtol=1e-5)
+
+
 def test_lap_jit_and_grad_safe():
     cost = jnp.asarray(np.random.default_rng(0).uniform(size=(8, 8)), jnp.float32)
     out = jax.jit(lap_square)(cost)
