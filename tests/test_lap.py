@@ -64,6 +64,25 @@ def test_lap_n_valid_traced():
         cost[np.arange(6), col4row[:6]].sum(), cost[:6][r, c].sum(), rtol=1e-5)
 
 
+def test_lap_constant_and_tied_costs():
+    """Early-training shape: near-uniform predictions give heavily tied cost
+    rows (every row claims the same argmin column in the warm start). Must
+    still terminate with a valid permutation at the optimal cost."""
+    n = 16
+    for cost in (np.zeros((n, n), np.float32),
+                 np.ones((n, n), np.float32) * 3.7,
+                 np.tile(np.linspace(0, 1, n, dtype=np.float32), (n, 1))):
+        for valid in (None, 5, n):
+            col4row = np.asarray(lap_square(jnp.asarray(cost), valid))
+            assert sorted(col4row.tolist()) == list(range(n))
+            nv = n if valid is None else valid
+            if nv:
+                r, c = linear_sum_assignment(cost[:nv])
+                np.testing.assert_allclose(
+                    cost[np.arange(nv), col4row[:nv]].sum(),
+                    cost[:nv][r, c].sum(), rtol=1e-5)
+
+
 def test_lap_jit_and_grad_safe():
     cost = jnp.asarray(np.random.default_rng(0).uniform(size=(8, 8)), jnp.float32)
     out = jax.jit(lap_square)(cost)

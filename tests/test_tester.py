@@ -86,6 +86,29 @@ def test_image_renderer_matches_chunked():
     np.testing.assert_allclose(d1, d2, atol=1e-4)
 
 
+def test_render_many_matches_sync():
+    """Pipelined multi-view generator == per-image synchronous renders,
+    including ordering (it dispatches ahead but must yield in pose order)."""
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+
+    scene = make_scene(H=10, W=12, n_train=2, n_test=3)
+    args = default_config(N_test=64, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4, multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(3), cfg)
+    render_im = make_image_renderer(cfg, args, 10, 12)
+
+    poses = np.asarray(scene.poses[scene.i_test])
+    sync = [render_im(state.params, scene.K, p) for p in poses]
+    piped = list(render_im.many(state.params, scene.K, poses))
+    assert len(piped) == len(sync)
+    for s, p in zip(sync, piped):
+        for a, b in zip(s, p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_batch_renderer_sharded():
     """Whole-image renderer with the ray axis sharded over 8 virtual devices."""
     import jax as _jax
