@@ -57,8 +57,7 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
     # number of VALID slots in the batch). Subdivide each label spatially into
     # 8 pseudo-objects so valid slots per batch ≈ 25-32 of 32, like a real
     # DMSR view.
-    import numpy as _np
-    yy, xx = _np.meshgrid(_np.arange(scene.H), _np.arange(scene.W), indexing="ij")
+    yy, xx = np.meshgrid(np.arange(scene.H), np.arange(scene.W), indexing="ij")
     sub = ((yy * 2) // scene.H) * 4 + ((xx * 4) // scene.W)       # [H, W] 0..7
     scene.gt_labels = (scene.gt_labels * 8 + sub[None]).astype(
         scene.gt_labels.dtype)

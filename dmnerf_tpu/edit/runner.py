@@ -61,10 +61,19 @@ def _fetch_edit_image(dispatched):
     return tuple(np.asarray(x)[:n] for x in outs)
 
 
-def _run_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
-    """One-dispatch edit over one image's rays (synchronous form)."""
-    return _fetch_edit_image(
-        _dispatch_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk))
+def _prefetch_map(dispatch, items):
+    """Yield _fetch_edit_image(dispatch(i, item)) in input order, dispatching
+    one item ahead so view i+1's device edit overlaps view i's D2H fetch and
+    whatever host work the consumer does between next() calls (same pattern
+    as eval.renderer.render_many)."""
+    pending = None
+    for i, item in enumerate(items):
+        cur = dispatch(i, item)
+        if pending is not None:
+            yield _fetch_edit_image(pending)
+        pending = cur
+    if pending is not None:
+        yield _fetch_edit_image(pending)
 
 
 def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgbs,
@@ -91,24 +100,18 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
 
     psnrs, ssims, lpipses, aps, full_map = [], [], [], [], {}
 
-    def _dispatch(ori_pose):
+    def _dispatch(_i, ori_pose):
         ori_o, ori_d = _full_rays(H, W, K, ori_pose)
         tar_pose = trans @ ori_pose
         tar_o, tar_d = _full_rays(H, W, K, tar_pose)
         return _dispatch_edit_image(run_chunk, ori_o, ori_d,
                                     tar_o[None], tar_d[None], args.N_test)
 
-    # one-deep prefetch: view i+1's device edit overlaps view i's D2H fetch
-    # and the host-side metric/PNG work below
     poses_np = np.asarray(ori_poses)
-    pending = _dispatch(poses_np[0]) if len(poses_np) else None
+    stream = _prefetch_map(_dispatch, poses_np)
     for i, ori_pose in enumerate(poses_np):
         t0 = time.time()
-        if i + 1 < len(poses_np):
-            nxt = _dispatch(poses_np[i + 1])
-        rgb, label_full, label, conf = _fetch_edit_image(pending)
-        if i + 1 < len(poses_np):
-            pending = nxt
+        rgb, label_full, label, conf = next(stream)
         rgb = rgb.reshape(H, W, 3)
 
         ins_map = {}
@@ -190,16 +193,11 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
         return _dispatch_edit_image(run_chunk, ori_o, ori_d, np.stack(tar_os),
                                     np.stack(tar_ds), args.N_test)
 
-    # one-deep prefetch, same rationale as manipulator_eval
     poses_np = np.asarray(view_poses)
-    pending = _dispatch(0, poses_np[0]) if len(poses_np) else None
+    stream = _prefetch_map(_dispatch, poses_np)
     for i, ori_pose in enumerate(poses_np):
         t0 = time.time()
-        if i + 1 < len(poses_np):
-            nxt = _dispatch(i + 1, poses_np[i + 1])
-        rgb, label_full, _, _ = _fetch_edit_image(pending)
-        if i + 1 < len(poses_np):
-            pending = nxt
+        rgb, label_full, _, _ = next(stream)
         rgb = rgb.reshape(H, W, 3)
         label = label_full.reshape(H, W)
         imageio.imwrite(os.path.join(save_dir, f"{i}_rgb.png"), to8b(rgb))

@@ -21,8 +21,11 @@ square and rectangular cases, unlike JV column reduction, because it keeps
 v = 0 so every v<0 column stays matched), and an optional `n_valid` argument —
 padding rows beyond it skip their phases entirely and are filled with the
 leftover free columns in one vectorized post-pass, which preserves the
-constant-padded-row optimum exactly. Measured in the train step at K=32:
-4.7 ms → ~2 ms.
+constant-padded-row optimum exactly. Measured fwd+bwd inside the vmapped
+train pair at K=32 (tools/bench_losses.py): 4.7 → ~2.8 ms at 30 valid slots
+(better duals shorten the surviving phases; under the vmapped coarse+fine
+pair a row only skips when BOTH elements pre-assigned it), and near-zero LAP
+cost when few slots are valid (crop scenes: the padding skip dominates).
 """
 
 from __future__ import annotations
@@ -89,11 +92,17 @@ def lap_square(cost: jnp.ndarray, n_valid=None) -> jnp.ndarray:
         active = carry[2][cur_row] < 0
         if n_valid is not None:
             active = active & row_valid[cur_row]
-        carry = jax.lax.cond(active, lambda c: _phase(c, cur_row),
+        # The cond skips the phase in the unbatched case. Under vmap (the
+        # train step runs coarse+fine LAPs as one vmapped pair) a batched-
+        # predicate cond lowers to select_n that executes BOTH branches, so
+        # `active` is ALSO threaded into the phase's while-loop conditions:
+        # vmapped while_loop masks carry updates per element, so an inactive
+        # element contributes zero iterations either way.
+        carry = jax.lax.cond(active, lambda c: _phase(c, cur_row, active),
                              lambda c: c, carry)
         return carry, None
 
-    def _phase(carry, cur_row):
+    def _phase(carry, cur_row, active):
         u, v, col4row, row4col = carry
 
         # --- Dijkstra phase: find shortest augmenting path from cur_row ---
@@ -104,7 +113,7 @@ def lap_square(cost: jnp.ndarray, n_valid=None) -> jnp.ndarray:
 
         def dij_cond(st):
             _, _, _, _, sink, _, _, it = st
-            return (sink < 0) & (it <= n)
+            return (sink < 0) & (it <= n) & active
 
         def dij_body(st):
             dist, path, sc, sr, sink, i, minval, it = st
@@ -148,7 +157,7 @@ def lap_square(cost: jnp.ndarray, n_valid=None) -> jnp.ndarray:
         # --- augment along the alternating path ---
         def aug_cond(st):
             _, _, _, done, it = st
-            return (~done) & (it <= n)
+            return (~done) & (it <= n) & active
 
         def aug_body(st):
             j, c4r, r4c, _, it = st

@@ -22,6 +22,8 @@ def main():
     p.add_argument("--valid", type=int, default=30,
                    help="distinct GT labels present in the batch")
     args = p.parse_args()
+    assert args.k >= 4, "--k must be >= 4 (timing is (T(k)-T(1))/(k-1))"
+    assert 1 <= args.valid <= args.ins_num
 
     from dmnerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
