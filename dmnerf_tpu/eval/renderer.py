@@ -19,6 +19,9 @@ from dmnerf_tpu.core.sampling import z_val_sample
 from dmnerf_tpu.models.fields import FieldConfig, apply_field
 from dmnerf_tpu.parallel.mesh import shard_batch
 
+# fused-path eval chunk cap (rays); see make_image_renderer
+FUSED_EVAL_CHUNK = 512
+
 
 def make_chunk_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
                         near: float, far: float, chunk: int, mesh=None,
@@ -48,7 +51,7 @@ def make_chunk_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
 
 def make_batch_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
                         near: float, far: float, chunk: int, n_rays: int,
-                        mesh=None, use_pallas: bool = False):
+                        mesh=None, use_pallas: bool = False, fused=None):
     """Whole-ray-set renderer in ONE dispatch: lax.map over fixed-size chunks.
 
     Per-chunk dispatch over the axon tunnel costs ~5 ms; a 640x480 image at
@@ -56,8 +59,38 @@ def make_batch_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
     loop into the program (sequential lax.map, so only one chunk's samples are
     live at a time) and dispatches once per image. n_rays must be a multiple of
     chunk (callers pad).
+
+    fused (default: follow use_pallas): render each chunk with the fused
+    field+composite kernels (ops/pallas/render_field) — raw [chunk,S,37]
+    never touches HBM and the coarse pass is density-only (measured ~13
+    ms/image of composite-stage HBM traffic removed at 128x128).
     """
     assert n_rays % chunk == 0
+    if fused is None:
+        fused = use_pallas
+
+    if fused:
+        from dmnerf_tpu.ops.pallas.render_field import make_fused_chunk_renderer
+        render_chunk_fused = make_fused_chunk_renderer(cfg, n_importance,
+                                                       mesh=mesh)
+
+        @jax.jit
+        def render_all_fused(params, rays_o, rays_d):
+            if mesh is not None:
+                rays_o, rays_d = shard_batch((rays_o, rays_d), mesh)
+            z = z_val_sample(chunk, near, far, n_samples)
+
+            def one(chunk_rays):
+                ro, rd = chunk_rays
+                return render_chunk_fused(params, ro, rd, z)
+
+            ro = rays_o.reshape(-1, chunk, 3)
+            rd = rays_d.reshape(-1, chunk, 3)
+            rgb, ins, depth = jax.lax.map(one, (ro, rd))
+            return (rgb.reshape(n_rays, 3), ins.reshape(n_rays, -1),
+                    depth.reshape(n_rays))
+
+        return render_all_fused
 
     if use_pallas:
         from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
@@ -121,18 +154,28 @@ def render_image(render_chunk, params, H: int, W: int, K: np.ndarray,
 
 
 def make_image_renderer(cfg: FieldConfig, args, H: int, W: int, mesh=None,
-                        use_pallas: bool = False):
+                        use_pallas: bool = False, fused=None):
     """render_im(params, K, c2w) -> (rgb [H,W,3], label [H,W] i32,
     conf [H,W] f32, depth [H,W]) as numpy. ONE device dispatch per image: ray
     generation, padding, the chunked render, the instance argmax/max-prob
     reduction, and the crop/reshape all live inside one jit (unjitted ray-gen
     costs ~10 small dispatches x ~5 ms tunnel latency per image)."""
     chunk = int(args.N_test)
+    if fused is None:
+        fused = use_pallas
+    if fused:
+        # measured on v5e (docs/DESIGN.md): the fused field+composite path is
+        # fastest at small chunks (56 ms/image at <=512 rays/chunk vs 78 at
+        # 4096) — the working set (PE streams + in-flight activations) stays
+        # near VMEM scale. N_test is the reference's memory knob (an upper
+        # bound), so shrinking the chunk is always legal.
+        chunk = min(chunk, FUSED_EVAL_CHUNK)
     n = H * W
     n_pad = (-n) % chunk
     render_all = make_batch_renderer(cfg, args.N_samples, args.N_importance,
                                      args.near, args.far, chunk, n + n_pad,
-                                     mesh=mesh, use_pallas=use_pallas)
+                                     mesh=mesh, use_pallas=use_pallas,
+                                     fused=fused)
 
     @jax.jit
     def render_im_dev(params, K, c2w):
