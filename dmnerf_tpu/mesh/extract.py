@@ -67,19 +67,31 @@ def make_density_fn(cfg: FieldConfig, chunk: int, super_mult: int = 512):
     return query
 
 
-def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64):
+def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64,
+                  use_fused=None):
     """Vertex-coloring ray renderer -> per-vertex argmax instance label.
 
     Full coarse->fine render (mesh_generator.py:106-137) with the reference's
     FIXED near=0.01/far=15 coloring bounds, lax.map'd over chunks inside one
     jit per super-batch, label argmax reduced ON DEVICE (the full [n, K] ins
-    map is ~130x the D2H bytes of the labels over the tunnel)."""
+    map is ~130x the D2H bytes of the labels over the tunnel).
+
+    use_fused (default: use_pallas on TPU): render chunks with the fused
+    field+composite kernels (ops/pallas/render_field) — same win as the eval
+    renderer (raw stays out of HBM, density-only coarse pass, 512-ray chunks).
+    """
     from dmnerf_tpu.core.rendering import render_rays
     from dmnerf_tpu.core.sampling import z_val_sample
     from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
 
-    if getattr(args, "use_pallas", True) and jax.default_backend() == "tpu":
-        field = make_pallas_field(cfg)
+    if use_fused is None:
+        use_fused = (getattr(args, "use_pallas", True)
+                     and jax.default_backend() == "tpu")
+    if use_fused:
+        from dmnerf_tpu.eval.renderer import FUSED_EVAL_CHUNK
+        from dmnerf_tpu.ops.pallas.render_field import make_fused_chunk_renderer
+        chunk = min(chunk, FUSED_EVAL_CHUNK)
+        render_chunk_fused = make_fused_chunk_renderer(cfg, args.N_importance)
     else:
         field = lambda p, pts, vd: apply_field(p, cfg, pts, vd)
 
@@ -87,14 +99,20 @@ def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64):
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def labels_super(params, ro, rd, sm):
-        coarse_fn = lambda pts, vd: field(params["coarse"], pts, vd)
-        fine_fn = lambda pts, vd: field(params["fine"], pts, vd)
         z = z_val_sample(chunk, 0.01, 15.0, args.N_samples)
 
-        def one(c):
-            out = render_rays(coarse_fn, fine_fn, c[0], c[1], z,
-                              args.N_importance, key=None, perturb=False)
-            return jnp.argmax(out["ins_fine"], -1).astype(jnp.int32)
+        if use_fused:
+            def one(c):
+                _, ins, _ = render_chunk_fused(params, c[0], c[1], z)
+                return jnp.argmax(ins, -1).astype(jnp.int32)
+        else:
+            coarse_fn = lambda pts, vd: field(params["coarse"], pts, vd)
+            fine_fn = lambda pts, vd: field(params["fine"], pts, vd)
+
+            def one(c):
+                out = render_rays(coarse_fn, fine_fn, c[0], c[1], z,
+                                  args.N_importance, key=None, perturb=False)
+                return jnp.argmax(out["ins_fine"], -1).astype(jnp.int32)
 
         return jax.lax.map(one, (ro.reshape(sm, chunk, 3),
                                  rd.reshape(sm, chunk, 3))).reshape(-1)

@@ -88,3 +88,30 @@ def test_image_renderer_fused_matches_unfused():
             state.params, scene.K, scene.poses[scene.i_test[0]])
         for g, w, tol in zip(got, ref, (5e-3, 0, 5e-3, 5e-2)):
             np.testing.assert_allclose(g, w, atol=tol, rtol=6e-3)
+
+
+def test_mesh_label_fn_fused_matches_xla():
+    """Vertex-coloring labels: fused chunk renderer vs the raw XLA path."""
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.mesh.extract import make_label_fn
+    from dmnerf_tpu.train.step import create_train_state
+
+    args = default_config(N_test=16, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4,
+                          multires_views=2)
+    args.ins_num = 4
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(5)
+    rays_o = rng.normal(size=(40, 3)).astype(np.float32) * 0.2
+    rays_d = rng.normal(size=(40, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    ref = make_label_fn(cfg, args, args.N_test, use_fused=False)(
+        state.params, rays_o, rays_d)
+    got = make_label_fn(cfg, args, args.N_test, use_fused=True)(
+        state.params, rays_o, rays_d)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
