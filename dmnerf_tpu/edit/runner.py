@@ -20,7 +20,7 @@ import numpy as np
 
 from dmnerf_tpu.core.rays import get_rays
 from dmnerf_tpu.edit.deform import deform_rays
-from dmnerf_tpu.edit.manipulator import make_image_manipulator
+from dmnerf_tpu.edit.manipulator import edit_chunk, make_image_manipulator
 from dmnerf_tpu.eval.instance_ap import ins_eval_from_labels
 from dmnerf_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
 from dmnerf_tpu.utils.viz import render_gt_label2img, render_label2img, to8b
@@ -86,7 +86,8 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
     os.makedirs(save_dir, exist_ok=True)
 
     move_labels = [int(args.target_label)]
-    n_rays = H * W + ((-H * W) % int(args.N_test))
+    chunk = edit_chunk(args)
+    n_rays = H * W + ((-H * W) % chunk)
     run_chunk = make_image_manipulator(cfg, params, args, n_obj=1,
                                        move_labels=move_labels, n_rays=n_rays,
                                        mesh=mesh,
@@ -105,7 +106,7 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
         tar_pose = trans @ ori_pose
         tar_o, tar_d = _full_rays(H, W, K, tar_pose)
         return _dispatch_edit_image(run_chunk, ori_o, ori_d,
-                                    tar_o[None], tar_d[None], args.N_test)
+                                    tar_o[None], tar_d[None], chunk)
 
     poses_np = np.asarray(ori_poses)
     stream = _prefetch_map(_dispatch, poses_np)
@@ -170,7 +171,8 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
         color_dict = {str(i): i for i in range(len(ins_rgbs))}
 
     move_labels = [int(o["tar_id"]) for o in objs]
-    n_rays = H * W + ((-H * W) % int(args.N_test))
+    chunk = edit_chunk(args)
+    n_rays = H * W + ((-H * W) % chunk)
     run_chunk = make_image_manipulator(cfg, params, args, n_obj=len(objs),
                                        move_labels=move_labels, n_rays=n_rays,
                                        mesh=mesh,
@@ -191,7 +193,7 @@ def manipulator_demo(cfg, params, hwk, objs_trans, save_dir, ins_rgbs, objs,
             tar_os.append(t_o)
             tar_ds.append(t_d)
         return _dispatch_edit_image(run_chunk, ori_o, ori_d, np.stack(tar_os),
-                                    np.stack(tar_ds), args.N_test)
+                                    np.stack(tar_ds), chunk)
 
     poses_np = np.asarray(view_poses)
     stream = _prefetch_map(_dispatch, poses_np)

@@ -119,3 +119,44 @@ def test_pose_spherical_shape():
     p = pose_spherical(30.0, -45.0, 4.0)
     assert p.shape == (4, 4)
     np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 4.0, rtol=1e-5)
+
+
+def test_edit_chunk_cap():
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.edit.manipulator import edit_chunk
+
+    assert edit_chunk(default_config(N_test=4096)) == 512
+    assert edit_chunk(default_config(N_test=512)) == 512
+    assert edit_chunk(default_config(N_test=1000)) == 1000  # not divisible
+    assert edit_chunk(default_config(N_test=256)) == 256    # already smaller
+
+
+def test_image_manipulator_chunk_invariant():
+    """Whole-image edit result must not depend on the chunk split."""
+    import numpy as np
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.core.rays import get_rays
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.edit.manipulator import make_image_manipulator
+    from dmnerf_tpu.models.fields import FieldConfig
+    from dmnerf_tpu.train.step import create_train_state
+
+    scene = make_scene(H=8, W=8, n_train=1, n_test=1)
+    outs = []
+    for n_test in (16, 64):
+        args = default_config(N_test=n_test, N_samples=8, N_importance=8,
+                              near=1.0, far=12.0, precision="f32",
+                              netdepth=2, netwidth=32, multires=4,
+                              multires_views=2)
+        args.ins_num = scene.ins_num
+        cfg = FieldConfig.from_args(args)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        ro, rd = get_rays(8, 8, jnp.asarray(scene.K), jnp.asarray(scene.poses[0]))
+        ro = np.asarray(ro).reshape(-1, 3)
+        rd = np.asarray(rd).reshape(-1, 3)
+        run = make_image_manipulator(cfg, state.params, args, 1, [1], 64)
+        outs.append(run(jnp.asarray(ro), jnp.asarray(rd),
+                        jnp.asarray(ro[None] + 0.2), jnp.asarray(rd[None])))
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
