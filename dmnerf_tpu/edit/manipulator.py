@@ -84,11 +84,17 @@ def exchanger(ori_raw, tar_raws: Sequence[jnp.ndarray], ori_accum_ins,
 
 def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
                      move_labels: Sequence[int], n_samples: int,
-                     n_importance: int, near: float, far: float):
+                     n_importance: int, near: float, far: float,
+                     fine_accum_fn=None):
     """Edit one ray chunk. ori_rays: (o, d) each [N, 3]; tar_rays: list of
     (o, d) pairs, one per moved object. Returns (rgb [N,3], ins [N,K+1],
     tar_rgb [N,3], tar_ins [N,K+1]) — ins keeps the air channel
     (manipulator_render does not drop it; eval drops it before AP).
+
+    fine_accum_fn(rays_o, rays_d, z_full) -> ins map [N, K+1] (air kept):
+    optional fused field+composite path for the two fine "accumulated label"
+    passes — their raws are never exchanged, only composited, so the fused
+    kernel (ops/pallas/render_field) skips the [N,S,C] raw HBM round-trip.
     """
     ori_o, ori_d = ori_rays
     N = ori_o.shape[0]
@@ -101,8 +107,11 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
     ori_mid = 0.5 * (ori_z[..., 1:] + ori_z[..., :-1])
     ori_zs = sample_pdf(ori_mid, ori_w[..., 1:-1], n_importance, det=True)
     ori_z_full = jnp.sort(jnp.concatenate([ori_z, ori_zs], -1), -1)
-    ori_raw_full = _field_raw(fine_fn, ori_o, ori_d, ori_z_full)
-    ori_accum = composite(ori_raw_full, ori_z_full, ori_d, keep_air=True).ins
+    if fine_accum_fn is not None:
+        ori_accum = fine_accum_fn(ori_o, ori_d, ori_z_full)
+    else:
+        ori_raw_full = _field_raw(fine_fn, ori_o, ori_d, ori_z_full)
+        ori_accum = composite(ori_raw_full, ori_z_full, ori_d, keep_air=True).ins
 
     tar_raws, tar_accums, tar_zs_list = [], [], []
     tar_rgb = tar_ins_accum = None
@@ -115,8 +124,11 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
         tar_mid = 0.5 * (tar_z[..., 1:] + tar_z[..., :-1])
         tar_zs = sample_pdf(tar_mid, t_w[..., 1:-1], n_importance, det=True)
         tar_z_full = jnp.sort(jnp.concatenate([tar_z, tar_zs], -1), -1)
-        tar_raw_full = _field_raw(fine_fn, tar_o, tar_d, tar_z_full)
-        t_accum = composite(tar_raw_full, tar_z_full, tar_d, keep_air=True).ins
+        if fine_accum_fn is not None:
+            t_accum = fine_accum_fn(tar_o, tar_d, tar_z_full)
+        else:
+            tar_raw_full = _field_raw(fine_fn, tar_o, tar_d, tar_z_full)
+            t_accum = composite(tar_raw_full, tar_z_full, tar_d, keep_air=True).ins
 
         tar_raws.append(tar_raw)
         tar_accums.append(t_accum)
@@ -169,12 +181,32 @@ def _field_fns(cfg, params, use_pallas: bool, mesh=None):
             lambda pts, vd: apply_field(params["fine"], cfg, pts, vd))
 
 
+def _fine_accum_fn(cfg, params, use_pallas: bool, mesh=None):
+    """Fused field+composite for the fine accumulated-label passes (air kept),
+    or None to take the raw+composite path."""
+    if not use_pallas:
+        return None
+    from dmnerf_tpu.ops.pallas.render_field import make_render_field
+    rf = make_render_field(cfg, heads="all", mesh=mesh)
+
+    def accum(rays_o, rays_d, z_full):
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        pts = (rays_o[:, None, :]
+               + rays_d[:, None, :] * z_full[:, :, None])
+        _, _, ins_logits = rf(params["fine"], pts, viewdirs[:, None, :],
+                              z_full, rays_d)
+        return jax.nn.sigmoid(ins_logits)
+
+    return accum
+
+
 def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int],
                      mesh=None, use_pallas: bool = False):
     """Jitted chunk editor with static chunk size args.N_test and n_obj.
     Under a device mesh the (original + per-object target) ray chunks shard
     over the 'data' axis — the edit is embarrassingly ray-parallel."""
     coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
+    accum_fn = _fine_accum_fn(cfg, params, use_pallas, mesh)
 
     @jax.jit
     def run(ori_o, ori_d, tar_os, tar_ds):
@@ -187,7 +219,7 @@ def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int],
             tar_rays = [(tar_os[i], tar_ds[i]) for i in range(n_obj)]
         return manipulate_chunk(coarse_fn, fine_fn, (ori_o, ori_d), tar_rays,
                                 move_labels, args.N_samples, args.N_importance,
-                                args.near, args.far)
+                                args.near, args.far, fine_accum_fn=accum_fn)
 
     return run
 
@@ -209,6 +241,7 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
     chunk = edit_chunk(args)
     assert n_rays % chunk == 0
     coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
+    accum_fn = _fine_accum_fn(cfg, params, use_pallas, mesh)
 
     @jax.jit
     def run_image(ori_o, ori_d, tar_os, tar_ds):
@@ -223,7 +256,8 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
                 tar_rays = [(tos[i], tds[i]) for i in range(n_obj)]
             rgb, ins, _, _ = manipulate_chunk(
                 coarse_fn, fine_fn, (oo, od), tar_rays, move_labels,
-                args.N_samples, args.N_importance, args.near, args.far)
+                args.N_samples, args.N_importance, args.near, args.far,
+                fine_accum_fn=accum_fn)
             return (rgb, jnp.argmax(ins, -1).astype(jnp.int32),
                     jnp.argmax(ins[..., :-1], -1).astype(jnp.int32),
                     jnp.max(ins[..., :-1], -1))

@@ -160,3 +160,41 @@ def test_image_manipulator_chunk_invariant():
     for a, b in zip(*outs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_image_manipulator_pallas_accum_matches_xla():
+    """use_pallas routes the fine accum passes through the fused composite
+    kernel; the edited image must match the XLA path (labels can differ only
+    where an accum argmax sits on a knife edge — none on this scene)."""
+    import numpy as np
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.core.rays import get_rays
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.edit.manipulator import make_image_manipulator
+    from dmnerf_tpu.models.fields import FieldConfig
+    from dmnerf_tpu.train.step import create_train_state
+
+    scene = make_scene(H=8, W=8, n_train=1, n_test=1)
+    args = default_config(N_test=32, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4,
+                          multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    ro, rd = get_rays(8, 8, jnp.asarray(scene.K), jnp.asarray(scene.poses[0]))
+    import numpy as _np
+    ro = _np.asarray(ro).reshape(-1, 3)
+    rd = _np.asarray(rd).reshape(-1, 3)
+
+    outs = []
+    for up in (False, True):
+        run = make_image_manipulator(cfg, state.params, args, 1, [1], 64,
+                                     use_pallas=up)
+        outs.append(run(jnp.asarray(ro), jnp.asarray(rd),
+                        jnp.asarray(ro[None] + 0.2), jnp.asarray(rd[None])))
+    ref, got = outs
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=5e-3, rtol=1e-3)          # rgb
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
