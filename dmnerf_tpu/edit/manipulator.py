@@ -229,7 +229,8 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
                            mesh=None, use_pallas: bool = False):
     """Whole-image edit in ONE dispatch: lax.map over fixed-size chunks
     (same dispatch-amortization as eval.renderer.make_batch_renderer).
-    n_rays must be a multiple of args.N_test.
+    n_rays must be a multiple of edit_chunk(args) (= args.N_test, capped at
+    EDIT_CHUNK when evenly divisible) — callers pad via edit_chunk.
 
     Returns run_image(ori_o, ori_d, tar_os, tar_ds) ->
       (rgb [n,3], label_full [n] i32, label_noair [n] i32, conf_noair [n] f32)

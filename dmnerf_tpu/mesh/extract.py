@@ -84,14 +84,17 @@ def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64,
     from dmnerf_tpu.core.sampling import z_val_sample
     from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
 
+    use_pallas = (getattr(args, "use_pallas", True)
+                  and jax.default_backend() == "tpu")
     if use_fused is None:
-        use_fused = (getattr(args, "use_pallas", True)
-                     and jax.default_backend() == "tpu")
+        use_fused = use_pallas
     if use_fused:
         from dmnerf_tpu.eval.renderer import FUSED_EVAL_CHUNK
         from dmnerf_tpu.ops.pallas.render_field import make_fused_chunk_renderer
         chunk = min(chunk, FUSED_EVAL_CHUNK)
         render_chunk_fused = make_fused_chunk_renderer(cfg, args.N_importance)
+    elif use_pallas:
+        field = make_pallas_field(cfg)
     else:
         field = lambda p, pts, vd: apply_field(p, cfg, pts, vd)
 

@@ -131,7 +131,7 @@ def _make_call(cfg: FieldConfig, heads: str):
     def call(enc_x, enc_d, z, dists, *wb):
         n, s = z.shape
         tr = _tile_rays(n, s)
-        outw = _ru(s, 128) if heads == "sigma" else _ru(4 + (C - 4), 128)
+        outw = _ru(s if heads == "sigma" else C, 128)
         wb_c = _cast_packed(wb, cfg)
         bx = pl.BlockSpec((tr * s, enc_x.shape[1]), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -175,12 +175,31 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
     heads="sigma": rf(params, pts, z, rays_d) -> weights [R,S]
                    (coarse pass: importance weights only; no viewdirs)
 
-    Under a mesh the kernel shard_maps over the ray axis (weights replicated).
+    Under a mesh the kernel shard_maps over the ray axis (weights replicated);
+    ray counts not divisible by the mesh axis are zero-padded (padded rays
+    composite to zeros and are cropped), matching field_kernels.make_field's
+    tolerance of arbitrary row counts.
     """
     assert heads in ("all", "sigma")
     n_shards = int(mesh.shape[axis_name]) if mesh is not None else 1
     dt = cfg.compute_dtype
     call = _make_call(cfg, heads)
+
+    def pad_rays(pts, viewdirs, z, rays_d):
+        """Zero-pad the ray axis to a multiple of the mesh axis."""
+        n = z.shape[0]
+        p = (-n) % n_shards
+        if not p:
+            return pts, viewdirs, z, rays_d
+        zer = lambda a: jnp.concatenate(
+            [a, jnp.zeros((p,) + a.shape[1:], a.dtype)], axis=0)
+        if viewdirs is not None:
+            viewdirs = zer(viewdirs)
+        # rays_d pads to ones: only its norm is used (dists scale), and the
+        # padded z rows are zero so every padded dist/alpha/weight is 0
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.ones((p, 3), rays_d.dtype)], axis=0)
+        return zer(pts), viewdirs, zer(z), rays_d
 
     def run(enc_x, enc_d, z, dists, wb, dirs_replicated):
         if n_shards > 1:
@@ -197,20 +216,23 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
     if heads == "sigma":
         def rf(params, pts, z, rays_d):
             n, s = z.shape
+            pts, _, z, rays_d = pad_rays(pts, None, z, rays_d)
             enc_x = positional_encoding(pts, cfg.multires).astype(dt)
-            enc_x = enc_x.reshape(n * s, -1)
+            enc_x = enc_x.reshape(z.shape[0] * s, -1)
             enc_x = jnp.pad(enc_x, ((0, 0), (0, _xpad(cfg) - enc_x.shape[1])))
             enc_d = jnp.zeros((8, 128), dt)
             wb = pack_params(params, cfg)
             out = run(enc_x, enc_d, z, _dists(z, rays_d), wb, True)
-            return out[:, :s]
+            return out[:n, :s]
         return rf
 
     def rf(params, pts, viewdirs, z, rays_d):
+        n = z.shape[0]
+        pts, viewdirs, z, rays_d = pad_rays(pts, viewdirs, z, rays_d)
         enc_x, enc_d = encode_inputs(pts, viewdirs, cfg, dt)
         wb = pack_params(params, cfg)
         out = run(enc_x, enc_d, z, _dists(z, rays_d), wb, False)
-        return out[:, 0:3], out[:, 3], out[:, 4:4 + cfg.ins_num + 1]
+        return out[:n, 0:3], out[:n, 3], out[:n, 4:4 + cfg.ins_num + 1]
 
     return rf
 

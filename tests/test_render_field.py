@@ -115,3 +115,23 @@ def test_mesh_label_fn_fused_matches_xla():
         state.params, rays_o, rays_d)
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_chunk_indivisible_by_mesh():
+    """Ray counts not divisible by the mesh axis must render (zero-padded),
+    matching the unfused path's tolerance (regression: shard_map divisibility
+    crash at chunk % n_devices != 0)."""
+    from dmnerf_tpu.parallel.mesh import make_mesh
+
+    rays_o, rays_d, z, params = _scene(R=12, S=6)  # 12 % 8 != 0
+    coarse_fn = lambda pts, vd: apply_field(params["coarse"], CFG, pts, vd)
+    fine_fn = lambda pts, vd: apply_field(params["fine"], CFG, pts, vd)
+    want = render_rays(coarse_fn, fine_fn, rays_o, rays_d, z, 4,
+                       key=None, perturb=False)
+
+    rc = make_fused_chunk_renderer(CFG, 4, mesh=make_mesh())
+    rgb, ins, depth = rc(params, rays_o, rays_d, z)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(want["rgb_fine"]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(want["depth_fine"]),
+                               atol=1e-3, rtol=1e-4)
