@@ -184,8 +184,10 @@ def make_image_renderer(cfg: FieldConfig, args, H: int, W: int, mesh=None,
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
         if n_pad:
-            rays_o = jnp.concatenate([rays_o, rays_o[-n_pad:]], 0)
-            rays_d = jnp.concatenate([rays_d, rays_d[-n_pad:]], 0)
+            # edge-pad (repeat the last ray): works even when n_pad > n
+            # (image smaller than one chunk); padded rows are cropped below
+            rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)), mode="edge")
+            rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)), mode="edge")
         rgb, ins, depth = render_all(params, rays_o, rays_d)
         # instance map reduced ON DEVICE: downstream (ins_eval, label->color
         # pngs) only consumes argmax + max-prob, and the full [H,W,K] fp32 map

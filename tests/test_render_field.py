@@ -135,3 +135,27 @@ def test_fused_chunk_indivisible_by_mesh():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(want["depth_fine"]),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_image_renderer_fused_chunk_cap():
+    """N_test > 512 activates the fused chunk cap; result matches unfused."""
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+
+    scene = make_scene(H=24, W=24, n_train=1, n_test=1)  # 576 rays > 512 cap
+    args = default_config(N_test=4096, N_samples=4, N_importance=4,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=16, multires=2,
+                          multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    params = {"coarse": init_field_params(jax.random.PRNGKey(0), cfg),
+              "fine": init_field_params(jax.random.PRNGKey(1), cfg)}
+
+    ref = make_image_renderer(cfg, args, 24, 24, fused=False)(
+        params, scene.K, scene.poses[scene.i_test[0]])
+    got = make_image_renderer(cfg, args, 24, 24, fused=True)(
+        params, scene.K, scene.poses[scene.i_test[0]])
+    for g, w, tol in zip(got, ref, (5e-3, 0, 5e-3, 5e-2)):
+        np.testing.assert_allclose(g, w, atol=tol, rtol=6e-3)
