@@ -115,10 +115,14 @@ def _composite_kernel(cfg, tr, s, heads, outw, x_ref, d_ref, z_ref, dists_ref,
 
 
 def _tile_rays(n_rays: int, s: int) -> int:
-    """Ray-tile size: ~TILE_FWD points per grid step, sublane-friendly."""
-    tr = max(1, TILE_FWD // s)
-    if tr >= 8:
-        tr -= tr % 8
+    """Ray-tile size: ~TILE_FWD points per grid step, sublane-friendly.
+
+    Mosaic wants >=8 sublanes for the [tr, s] z/dists/out blocks, so tr is
+    held at >=8 even when a lowered DMNERF_TILE_FWD would give fewer
+    (DMNERF_TILE_FWD=1024 with s=192 crashed otherwise). tr < 8 only happens
+    when n_rays itself is < 8 (interpret-mode tests)."""
+    tr = max(8, TILE_FWD // s)
+    tr -= tr % 8
     tr = min(tr, n_rays)
     while n_rays % tr:
         tr -= 1
