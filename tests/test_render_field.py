@@ -159,3 +159,12 @@ def test_image_renderer_fused_chunk_cap():
         params, scene.K, scene.poses[scene.i_test[0]])
     for g, w, tol in zip(got, ref, (5e-3, 0, 5e-3, 5e-2)):
         np.testing.assert_allclose(g, w, atol=tol, rtol=6e-3)
+
+
+def test_tile_rays_floor_and_divisibility():
+    from dmnerf_tpu.ops.pallas.render_field import _tile_rays
+
+    assert _tile_rays(512, 192) >= 8            # Mosaic sublane floor
+    for n, s in [(512, 192), (512, 64), (4096, 256), (576, 192), (12, 6)]:
+        tr = _tile_rays(n, s)
+        assert n % tr == 0 and 1 <= tr <= n
