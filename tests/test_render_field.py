@@ -168,3 +168,31 @@ def test_tile_rays_floor_and_divisibility():
     for n, s in [(512, 192), (512, 64), (4096, 256), (576, 192), (12, 6)]:
         tr = _tile_rays(n, s)
         assert n % tr == 0 and 1 <= tr <= n
+
+
+def test_image_renderer_fused_2d_mesh():
+    """Fused eval under a 2-D (data, model) mesh: rays shard over 'data',
+    kernel weights replicated over 'model'; must match the single-device XLA
+    path."""
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+    from dmnerf_tpu.parallel.mesh import make_mesh_2d
+    from dmnerf_tpu.train.step import create_train_state
+
+    scene = make_scene(H=8, W=8, n_train=1, n_test=1)
+    args = default_config(N_test=32, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4,
+                          multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    ref = make_image_renderer(cfg, args, 8, 8, fused=False)(
+        state.params, scene.K, scene.poses[scene.i_test[0]])
+    got = make_image_renderer(cfg, args, 8, 8, mesh=make_mesh_2d(4, 2),
+                              fused=True)(
+        state.params, scene.K, scene.poses[scene.i_test[0]])
+    for g, w, tol in zip(got, ref, (5e-3, 0, 5e-3, 5e-2)):
+        np.testing.assert_allclose(g, w, atol=tol, rtol=6e-3)
