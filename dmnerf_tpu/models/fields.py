@@ -124,7 +124,7 @@ def _dot(x: jnp.ndarray, layer: Params, dtype, out_dtype=None) -> jnp.ndarray:
     traffic; heads return fp32.
     """
     y = jnp.dot(x.astype(dtype), layer["w"].astype(dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.promote_types(jnp.float32, dtype))
     y = y + layer["b"]
     return y.astype(out_dtype) if out_dtype is not None else y
 
@@ -161,4 +161,7 @@ def apply_field(params: Params, cfg: FieldConfig,
     ins_f = jax.nn.relu(_dot(ins_f, params["ins_hidden"], dt, out_dtype=dt))
     ins = _dot(ins_f, params["ins_out"], dt)
 
-    return jnp.concatenate([rgb, density, ins], axis=-1).astype(jnp.float32)
+    # promote keeps bf16/f32 compute on the fp32 path; compute_dtype=float64
+    # (torch-oracle parity tests) keeps full f64 end to end
+    return jnp.concatenate([rgb, density, ins], axis=-1).astype(
+        jnp.promote_types(jnp.float32, dt))
