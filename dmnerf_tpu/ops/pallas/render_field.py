@@ -117,15 +117,17 @@ def _composite_kernel(cfg, tr, s, heads, outw, x_ref, d_ref, z_ref, dists_ref,
 def _tile_rays(n_rays: int, s: int) -> int:
     """Ray-tile size: ~TILE_FWD points per grid step, sublane-friendly.
 
-    Mosaic wants >=8 sublanes for the [tr, s] z/dists/out blocks, so tr is
-    held at >=8 even when a lowered DMNERF_TILE_FWD would give fewer
-    (DMNERF_TILE_FWD=1024 with s=192 crashed otherwise). tr < 8 only happens
-    when n_rays itself is < 8 (interpret-mode tests)."""
+    Mosaic requires the [tr, s] z/dists/out blocks' sublane dim be a MULTIPLE
+    of 8 (or equal to the whole axis) — merely >=8 still fails lowering
+    (observed: tr=26 at n=104, s=48 on hardware). pad_rays pads every entry
+    point to a multiple of 8, so the step-8 walk below always terminates at a
+    legal tr (8 divides n_rays); the assert guards the invariant."""
+    assert n_rays % 8 == 0, f"ray axis must be padded to 8 (got {n_rays})"
     tr = max(8, TILE_FWD // s)
     tr -= tr % 8
     tr = min(tr, n_rays)
     while n_rays % tr:
-        tr -= 1
+        tr -= 8
     return tr
 
 
@@ -190,17 +192,21 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
     call = _make_call(cfg, heads)
 
     def pad_rays(pts, viewdirs, z, rays_d):
-        """Zero-pad the ray axis to a multiple of the mesh axis."""
+        """Zero-pad the ray axis so every shard sees a multiple of 8 rays
+        (the Mosaic sublane floor _tile_rays relies on; previously a sub-512
+        non-multiple-of-8 chunk like --N_test 100 could tile below 8)."""
         n = z.shape[0]
-        p = (-n) % n_shards
+        p = (-n) % (8 * n_shards)
         if not p:
             return pts, viewdirs, z, rays_d
         zer = lambda a: jnp.concatenate(
             [a, jnp.zeros((p,) + a.shape[1:], a.dtype)], axis=0)
         if viewdirs is not None:
             viewdirs = zer(viewdirs)
-        # rays_d pads to ones: only its norm is used (dists scale), and the
-        # padded z rows are zero so every padded dist/alpha/weight is 0
+        # rays_d pads to ones: only its norm is used (dists scale). Padded
+        # rows are garbage-but-cropped — the appended 1e10 final dist gives
+        # the padded ray's last sample alpha~1 — callers slice out[:n] before
+        # any reduction, so nothing downstream may consume padded rows.
         rays_d = jnp.concatenate(
             [rays_d, jnp.ones((p, 3), rays_d.dtype)], axis=0)
         return zer(pts), viewdirs, zer(z), rays_d

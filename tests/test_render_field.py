@@ -2,6 +2,7 @@
 (interpret mode on CPU)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -165,9 +166,15 @@ def test_tile_rays_floor_and_divisibility():
     from dmnerf_tpu.ops.pallas.render_field import _tile_rays
 
     assert _tile_rays(512, 192) >= 8            # Mosaic sublane floor
-    for n, s in [(512, 192), (512, 64), (4096, 256), (576, 192), (12, 6)]:
+    # pad_rays guarantees 8 | n_rays at every entry point; tr must then be a
+    # MULTIPLE of 8 (Mosaic block constraint — tr=26 at (104,48) crashed on
+    # hardware) that divides n
+    for n, s in [(512, 192), (512, 64), (4096, 256), (576, 192), (16, 6),
+                 (104, 192), (104, 48), (296, 192), (504, 192), (8, 320)]:
         tr = _tile_rays(n, s)
-        assert n % tr == 0 and 1 <= tr <= n
+        assert n % tr == 0 and 8 <= tr <= n and tr % 8 == 0
+    with pytest.raises(AssertionError):
+        _tile_rays(100, 192)  # unpadded ray count must be rejected, not mis-tiled
 
 
 def test_image_renderer_fused_2d_mesh():
