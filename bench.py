@@ -110,6 +110,20 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
     rdt = time.perf_counter() - t0
     render_rps = scene.H * scene.W * len(poses_rep) / rdt / n_chips
 
+    # ---- 8-chip projection (BASELINE.md names a v5p-8; this box has 1 chip).
+    # DM-NeRF trains ray-parallel: per step the only cross-chip traffic is the
+    # fp32 gradient psum over both fields + O(K^2) instance-loss stats. Ring
+    # all-reduce moves 2(N-1)/N x payload per chip over ICI (~90 GB/s/link
+    # v5e); the comm term is serialized here (no overlap assumed) so the
+    # projection is conservative.
+    n_params = 2 * param_count(init_field_params(jax.random.PRNGKey(9), cfg))
+    psum_mb = n_params * 4 / 1e6
+    ici_bytes_per_s = 90e9
+    n_proj = 8
+    comm_ms = psum_mb * 1e6 * 2 * (n_proj - 1) / n_proj / ici_bytes_per_s * 1e3
+    proj_eff = ms_step / (ms_step + comm_ms)
+    proj_rps = n_proj * train_rps * proj_eff
+
     value = round(train_rps, 1)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
@@ -122,6 +136,10 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
         "render_rays_per_sec_per_chip": round(render_rps, 1),
         "pallas_train": bool(pallas_train),
         "scan_steps_per_dispatch": scan_steps,
+        "proj_8chip_grad_psum_mb": round(psum_mb, 2),
+        "proj_8chip_comm_ms_per_step": round(comm_ms, 3),
+        "proj_8chip_scaling_efficiency": round(proj_eff, 4),
+        "proj_8chip_rays_per_sec": round(proj_rps, 0),
     }))
 
 

@@ -172,7 +172,7 @@ def edit_chunk(args) -> int:
 
 def _field_fns(cfg, params, use_pallas: bool, mesh=None):
     if use_pallas:
-        from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
+        from dmnerf_tpu.ops.pallas.field_kernels import make_pallas_field
         f = make_pallas_field(cfg, mesh=mesh)
         return (lambda pts, vd: f(params["coarse"], pts, vd),
                 lambda pts, vd: f(params["fine"], pts, vd))

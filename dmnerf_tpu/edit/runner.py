@@ -151,8 +151,12 @@ def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgb
             json.dump(full_map, f)
         aps_arr = np.array(aps)
         rows = np.stack([psnrs, ssims, lpipses] + [aps_arr[:, k] for k in range(6)], 1)
+        # lpips is all-NaN when no pretrained weights are supplied; nanmean
+        # of an all-NaN column emits a RuntimeWarning — keep the NaN silently
+        lpips_mean = (np.nanmean(lpipses) if np.isfinite(lpipses).any()
+                      else float("nan"))
         mean_row = np.concatenate([[np.nanmean(psnrs), np.nanmean(ssims),
-                                    np.nanmean(lpipses)], aps_arr.mean(0)])
+                                    lpips_mean], aps_arr.mean(0)])
         table = np.concatenate([rows, mean_row[None]], 0)
         np.savetxt(os.path.join(save_dir, "test_results.txt"), table,
                    fmt="%.6f", delimiter=" ")

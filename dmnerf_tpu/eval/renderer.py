@@ -30,7 +30,7 @@ def make_chunk_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
     -> (rgb [chunk,3], ins [chunk,K], depth [chunk])."""
 
     if use_pallas:
-        from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
+        from dmnerf_tpu.ops.pallas.field_kernels import make_pallas_field
         field = make_pallas_field(cfg, mesh=mesh)
     else:
         field = lambda params, pts, vd: apply_field(params, cfg, pts, vd)
@@ -93,7 +93,7 @@ def make_batch_renderer(cfg: FieldConfig, n_samples: int, n_importance: int,
         return render_all_fused
 
     if use_pallas:
-        from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
+        from dmnerf_tpu.ops.pallas.field_kernels import make_pallas_field
         field = make_pallas_field(cfg, mesh=mesh)
     else:
         field = lambda params, pts, vd: apply_field(params, cfg, pts, vd)

@@ -82,7 +82,7 @@ def make_label_fn(cfg: FieldConfig, args, chunk: int, super_mult: int = 64,
     """
     from dmnerf_tpu.core.rendering import render_rays
     from dmnerf_tpu.core.sampling import z_val_sample
-    from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
+    from dmnerf_tpu.ops.pallas.field_kernels import make_pallas_field
 
     use_pallas = (getattr(args, "use_pallas", True)
                   and jax.default_backend() == "tpu")

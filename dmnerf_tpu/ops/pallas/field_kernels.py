@@ -394,3 +394,16 @@ def make_field(cfg: FieldConfig, trainable: bool, mesh=None,
         return raw.reshape(R, S, -1)
 
     return field
+
+
+def make_pallas_field(cfg: FieldConfig, mesh=None):
+    """Forward-only fused field for eval paths (former ops.pallas.fused_field
+    entry): field(params, pts [R,S,3], viewdirs [R,1,3]) -> raw [R,S,C]."""
+    return make_field(cfg, trainable=False, mesh=mesh)
+
+
+def make_trainable_pallas_field(cfg: FieldConfig, mesh=None):
+    """Custom-VJP fused field, drop-in for apply_field (former
+    ops.pallas.fused_field_train entry). Differentiable wrt params/pts/dirs;
+    under a mesh the shard_map transpose psums the weight cotangents."""
+    return make_field(cfg, trainable=True, mesh=mesh)

@@ -125,7 +125,7 @@ def make_train_step(args, cfg: FieldConfig, sampler: str = "full", mesh=None,
 
     if getattr(args, "pallas_train", False):
         # fused fwd+bwd field kernel: no HBM activations, no remat needed
-        from dmnerf_tpu.ops.pallas.fused_field_train import \
+        from dmnerf_tpu.ops.pallas.field_kernels import \
             make_trainable_pallas_field
         _ptf = make_trainable_pallas_field(cfg, mesh=mesh)
         field = lambda p, _cfg, pts, vd: _ptf(p, pts, vd)

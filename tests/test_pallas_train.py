@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmnerf_tpu.models.fields import FieldConfig, apply_field, init_field_params
-from dmnerf_tpu.ops.pallas.fused_field_train import make_trainable_pallas_field
+from dmnerf_tpu.ops.pallas.field_kernels import make_trainable_pallas_field
 
 CFG = FieldConfig(netdepth=3, netwidth=32, multires=3, multires_views=2,
                   ins_num=3, skip=1, compute_dtype=jnp.float32)

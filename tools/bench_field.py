@@ -88,8 +88,8 @@ def main():
         measure("xla fwd+bwd", grad_op(xla_field), 3)
 
     if "pallas" in variants:
-        from dmnerf_tpu.ops.pallas.fused_field import make_pallas_field
-        from dmnerf_tpu.ops.pallas.fused_field_train import make_trainable_pallas_field
+        from dmnerf_tpu.ops.pallas.field_kernels import make_pallas_field
+        from dmnerf_tpu.ops.pallas.field_kernels import make_trainable_pallas_field
         pf = make_pallas_field(cfg)
         measure("pallas fwd (eval kernel)", fwd_op(pf), 1)
         ptf = make_trainable_pallas_field(cfg)
