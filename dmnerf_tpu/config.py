@@ -122,6 +122,9 @@ FLAG_SPECS: List[FlagSpec] = [
     FlagSpec("remat", bool, False, "rematerialize MLP activations in backward "
              "(profiled slower than storing bf16 activations at reference batch sizes)"),
     FlagSpec("lpips_weights", str, None, "path to LPIPS-VGG weights (.npz); metric gated if absent"),
+    FlagSpec("d2h_pack", bool, False, "pack eval/edit outputs on device (rgb uint8, "
+             "conf/depth bf16) before the device->host fetch: 3x fewer tunnel bytes; "
+             "metrics then see 8-bit rgb (pngs identical)", store_true=True),
     FlagSpec("debug_nans", bool, False, "enable jax debug_nans (the reference keeps "
              "torch's anomaly detector ALWAYS on, dm_nerf.py:5 — a perf bug; here it's opt-in)",
              store_true=True),

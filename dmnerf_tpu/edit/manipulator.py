@@ -241,6 +241,7 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
     tunnel."""
     chunk = edit_chunk(args)
     assert n_rays % chunk == 0
+    pack = bool(getattr(args, "d2h_pack", False))
     coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
     accum_fn = _fine_accum_fn(cfg, params, use_pallas, mesh)
 
@@ -268,7 +269,16 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
                  tar_os.reshape(n_obj, nc, chunk, 3).transpose(1, 0, 2, 3),
                  tar_ds.reshape(n_obj, nc, chunk, 3).transpose(1, 0, 2, 3))
         rgb, lab_full, lab, conf = jax.lax.map(one, parts)
-        return (rgb.reshape(n_rays, 3), lab_full.reshape(n_rays),
-                lab.reshape(n_rays), conf.reshape(n_rays))
+        rgb, lab_full, lab, conf = (rgb.reshape(n_rays, 3),
+                                    lab_full.reshape(n_rays),
+                                    lab.reshape(n_rays), conf.reshape(n_rays))
+        if pack:
+            # device-side D2H packing (--d2h_pack): 24 -> 7 B/px over the
+            # tunnel; runner._fetch_edit_image unpacks by dtype
+            rgb = (255.0 * jnp.clip(rgb, 0, 1)).astype(jnp.uint8)
+            lab_full = lab_full.astype(jnp.uint8)
+            lab = lab.astype(jnp.uint8)
+            conf = conf.astype(jnp.bfloat16)
+        return rgb, lab_full, lab, conf
 
     return run_image

@@ -56,9 +56,16 @@ def _dispatch_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
 
 def _fetch_edit_image(dispatched):
     """Fetch a _dispatch_edit_image result as numpy: (rgb, label_full,
-    label_noair, conf_noair)."""
+    label_noair, conf_noair). Unpacks --d2h_pack outputs (detected by dtype)
+    back to the f32/int32 interface consumers expect."""
     outs, n = dispatched
-    return tuple(np.asarray(x)[:n] for x in outs)
+    rgb, lab_full, lab, conf = (np.asarray(x)[:n] for x in outs)
+    if rgb.dtype == np.uint8:
+        rgb = rgb.astype(np.float32) / 255.0
+        lab_full = lab_full.astype(np.int32)
+        lab = lab.astype(np.int32)
+        conf = conf.astype(np.float32)
+    return rgb, lab_full, lab, conf
 
 
 def _prefetch_map(dispatch, items):

@@ -93,9 +93,22 @@ def _mode_matrix(mode: str) -> np.ndarray:
 
 
 def generate_poses_eval(args, center=None) -> dict:
-    """Build + persist the eval transformation for args.mani_mode."""
+    """Build + persist the eval transformation for args.mani_mode.
+
+    Center lookup: the reference hardcodes per-scene centers
+    (pose_generator.py:54-57); scenes outside that table (e.g. stress
+    fixtures) ship their own mani/obj_center.json {"center": [x,y,z]}."""
     if center is None:
-        center = MANI_CENTERS[args.expname]
+        center = MANI_CENTERS.get(args.expname)
+    if center is None:
+        cpath = os.path.join(args.datadir, "mani", "obj_center.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                center = json.load(f)["center"]
+        else:
+            raise KeyError(
+                f"no manipulation center for scene {args.expname!r}: not in "
+                f"MANI_CENTERS and {cpath} does not exist")
     tar = _center_conjugate(_mode_matrix(args.mani_mode), center)
     transformations = {"transformations": [
         {"transformation": tar.tolist(), "mode": args.mani_mode}]}

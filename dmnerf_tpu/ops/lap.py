@@ -87,20 +87,20 @@ def lap_square(cost: jnp.ndarray, n_valid=None) -> jnp.ndarray:
         jnp.where(haswin, winner, n)].set(rows_arange)
     v0 = jnp.zeros((n,), jnp.float32)
     u0 = jnp.where(row_valid, u0, 0.0)
+    # (a JV-style column-reduction second round was tried and REVERTED: it
+    # assigns more rows but needs v > 0 on the new matches, and positive v on
+    # matched columns breaks the rectangular dual (v <= 0) that the padded-row
+    # skip relies on — scipy sweeps caught a suboptimal 10x10/valid=6 case.)
 
-    def solve_row(carry, cur_row):
-        active = carry[2][cur_row] < 0
-        if n_valid is not None:
-            active = active & row_valid[cur_row]
-        # The cond skips the phase in the unbatched case. Under vmap (the
-        # train step runs coarse+fine LAPs as one vmapped pair) a batched-
-        # predicate cond lowers to select_n that executes BOTH branches, so
-        # `active` is ALSO threaded into the phase's while-loop conditions:
-        # vmapped while_loop masks carry updates per element, so an inactive
-        # element contributes zero iterations either way.
-        carry = jax.lax.cond(active, lambda c: _phase(c, cur_row, active),
-                             lambda c: c, carry)
-        return carry, None
+    def outer_cond(st):
+        (_, _, col4row, _), it = st
+        return jnp.any((col4row < 0) & row_valid) & (it < n)
+
+    def outer_body(st):
+        carry, it = st
+        unass = (carry[2] < 0) & row_valid
+        cur_row = jnp.argmax(unass).astype(jnp.int32)
+        return _phase(carry, cur_row, jnp.any(unass)), it + 1
 
     def _phase(carry, cur_row, active):
         u, v, col4row, row4col = carry
@@ -174,8 +174,18 @@ def lap_square(cost: jnp.ndarray, n_valid=None) -> jnp.ndarray:
 
         return (u, v, col4row, row4col)
 
-    (u, v, col4row, row4col), _ = jax.lax.scan(
-        solve_row, (u0, v0, c0, r0), jnp.arange(n))
+    # Outer loop visits ONLY still-unassigned valid rows (each phase assigns
+    # exactly one, so it runs `n - #warm-start-hits` times; bounded by n as a
+    # degenerate-input backstop). The previous form scanned ALL n rows with a
+    # lax.cond per row — under vmap (the train step's coarse+fine pair) that
+    # cond lowers to select_n executing BOTH branches, so every pre-assigned
+    # row still paid the phase's fixed op overhead; this form pays it only for
+    # rows that actually need a phase. Under vmap the while_loop's batching
+    # rule masks carry updates per element, so an element that finishes early
+    # idles (its argmax picks row 0 with `active` false; every inner loop and
+    # update is select-masked) while the other element's phases complete.
+    (u, v, col4row, row4col), _ = jax.lax.while_loop(
+        outer_cond, outer_body, ((u0, v0, c0, r0), jnp.int32(0)))
 
     # --- fill padding rows with the leftover free columns (vectorized) ---
     # #unassigned rows always equals #free columns (partial matching), so the

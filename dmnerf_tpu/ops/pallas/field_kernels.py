@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dmnerf_tpu.core.encoding import positional_encoding
+from dmnerf_tpu.core.encoding import (pe_group_permutation,
+                                      positional_encoding_grouped)
 from dmnerf_tpu.models.fields import FieldConfig
 
 F32 = jnp.float32
@@ -98,13 +99,19 @@ def pack_params(params, cfg: FieldConfig):
     XP = _xpad(cfg)
     tr = params["trunk"]
     pos = cfg.pos_ch
+    # the kernels consume GROUPED encodings (positional_encoding_grouped);
+    # params store reference channel order, so rows that face an encoding are
+    # permuted here (exact: a dot product is invariant under a consistent
+    # row/channel permutation)
+    permx = pe_group_permutation(cfg.multires)
+    permd = pe_group_permutation(cfg.multires_views)
 
-    t = [jnp.pad(tr[0]["w"], ((0, XP - pos), (0, 0)))]
+    t = [jnp.pad(tr[0]["w"][permx], ((0, XP - pos), (0, 0)))]
     for i in range(1, D):
         if i == cfg.skip + 1:
             w = tr[i]["w"]  # [W + pos, W] in reference row order
             t.append(jnp.concatenate(
-                [w[:W], jnp.pad(w[W:W + pos], ((0, XP - pos), (0, 0)))], axis=0))
+                [w[:W], jnp.pad(w[W:][permx], ((0, XP - pos), (0, 0)))], axis=0))
         else:
             t.append(tr[i]["w"])
     bt = jnp.stack([tr[i]["b"] for i in range(D)])
@@ -112,6 +119,7 @@ def pack_params(params, cfg: FieldConfig):
     wf = jnp.concatenate([params["rgb_feat"]["w"], params["ins_feat"]["w"]], axis=1)
     bf = jnp.concatenate([params["rgb_feat"]["b"], params["ins_feat"]["b"]])
     wrh_raw = params["rgb_hidden"]["w"]  # [W + view_ch, W//2]
+    wrh_raw = jnp.concatenate([wrh_raw[:W], wrh_raw[W:][permd]], axis=0)
     wrh = jnp.pad(wrh_raw, ((0, W + _dpad(cfg) - wrh_raw.shape[0]), (0, 0)))
     wih = params["ins_hidden"]["w"]
 
@@ -127,18 +135,36 @@ def pack_params(params, cfg: FieldConfig):
                        params["ins_hidden"]["b"], wo, wd, bo, jnp.zeros((1,), F32))
 
 
-def encode_inputs(pts, viewdirs, cfg: FieldConfig, dtype):
-    """XLA-side PE + flatten + pad: [R,S,3] pts, [R,1,3] dirs ->
-    enc_x [P, XP], enc_d [P, DP] in `dtype` (P = R*S)."""
-    enc_x = positional_encoding(pts, cfg.multires).astype(dtype)
-    dirs = jnp.broadcast_to(viewdirs, pts.shape)
-    enc_d = positional_encoding(dirs, cfg.multires_views).astype(dtype)
+def encode_pos(pts, cfg: FieldConfig, dtype):
+    """GROUPED PE + flatten + pad for the position stream: [..,3] ->
+    [P, XP] in `dtype`. Flatten-first keeps everything rank-2 (the rank-3
+    grouped PE is already layout-friendly, but 2-D in, 2-D out lets XLA fuse
+    the pad + cast into the sin/cos producer)."""
     n = pts.shape[0] * pts.shape[1] if pts.ndim == 3 else pts.shape[0]
-    enc_x = enc_x.reshape(n, -1)
-    enc_d = enc_d.reshape(n, -1)
-    enc_x = jnp.pad(enc_x, ((0, 0), (0, _xpad(cfg) - enc_x.shape[1])))
+    flat = pts.reshape(n, 3)
+    enc = positional_encoding_grouped(flat, cfg.multires).astype(dtype)
+    return jnp.pad(enc, ((0, 0), (0, _xpad(cfg) - enc.shape[1])))
+
+
+def encode_inputs(pts, viewdirs, cfg: FieldConfig, dtype):
+    """XLA-side grouped PE + flatten + pad (weights permuted in pack_params):
+    [R,S,3] pts, [R,1,3] dirs -> enc_x [P, XP], enc_d [P, DP] (P = R*S)."""
+    enc_x = encode_pos(pts, cfg, dtype)
+    n = enc_x.shape[0]
+    dirs = jnp.broadcast_to(viewdirs, pts.shape).reshape(n, 3)
+    enc_d = positional_encoding_grouped(dirs, cfg.multires_views).astype(dtype)
     enc_d = jnp.pad(enc_d, ((0, 0), (0, _dpad(cfg) - enc_d.shape[1])))
     return enc_x, enc_d
+
+
+# In-kernel PE was tried and REVERTED (round 3): computing the encodings
+# inside the kernels from raw [T,8] points (one [T,8]x[8,42] matmul + one
+# sin + one cos per tile) removes the XLA-side encode chain but measured
+# 43.5 ms/step vs 37.7 train and 261k vs 278k rays/s eval render — the VPU
+# transcendentals serialize against the MXU trunk within each tile, the same
+# finding that moved PE out of the round-1 kernel. XLA-side grouped PE
+# (positional_encoding_grouped + row-permuted weights) is the keeper: same
+# values, rank-2 end to end.
 
 
 def _fwd_body(cfg: FieldConfig, x, d, wb, save_acts: bool = False):

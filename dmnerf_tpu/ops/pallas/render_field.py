@@ -38,11 +38,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dmnerf_tpu.core.encoding import positional_encoding
 from dmnerf_tpu.models.fields import FieldConfig
 from dmnerf_tpu.ops.pallas.field_kernels import (
-    TILE_FWD, _VMEM_LIMIT, _cast_packed, _fwd_body, _interpret, _ru, _xpad,
-    encode_inputs, pack_params)
+    TILE_FWD, _VMEM_LIMIT, _cast_packed, _fwd_body, _interpret, _ru,
+    encode_inputs, encode_pos, pack_params)
 
 F32 = jnp.float32
 
@@ -227,9 +226,7 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
         def rf(params, pts, z, rays_d):
             n, s = z.shape
             pts, _, z, rays_d = pad_rays(pts, None, z, rays_d)
-            enc_x = positional_encoding(pts, cfg.multires).astype(dt)
-            enc_x = enc_x.reshape(z.shape[0] * s, -1)
-            enc_x = jnp.pad(enc_x, ((0, 0), (0, _xpad(cfg) - enc_x.shape[1])))
+            enc_x = encode_pos(pts.reshape(z.shape[0] * s, 3), cfg, dt)
             enc_d = jnp.zeros((8, 128), dt)
             wb = pack_params(params, cfg)
             out = run(enc_x, enc_d, z, _dists(z, rays_d), wb, True)

@@ -203,3 +203,35 @@ def test_image_renderer_fused_2d_mesh():
         state.params, scene.K, scene.poses[scene.i_test[0]])
     for g, w, tol in zip(got, ref, (5e-3, 0, 5e-3, 5e-2)):
         np.testing.assert_allclose(g, w, atol=tol, rtol=6e-3)
+
+
+def test_image_renderer_d2h_pack_roundtrip():
+    """--d2h_pack returns the same interface (f32 rgb etc.) with rgb quantized
+    to 8-bit; labels identical, conf within bf16 rounding."""
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+    from dmnerf_tpu.train.step import create_train_state
+
+    scene = make_scene(H=8, W=8, n_train=1, n_test=1)
+    args = default_config(N_test=64, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4,
+                          multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    ref = make_image_renderer(cfg, args, 8, 8)(
+        state.params, scene.K, scene.poses[scene.i_test[0]])
+    args.d2h_pack = True
+    got = make_image_renderer(cfg, args, 8, 8)(
+        state.params, scene.K, scene.poses[scene.i_test[0]])
+
+    assert got[0].dtype == np.float32 and got[1].dtype == np.int32
+    np.testing.assert_allclose(got[0], ref[0], atol=1.01 / 255)
+    np.testing.assert_array_equal(got[1], ref[1])
+    np.testing.assert_allclose(got[2], ref[2], atol=1 / 128)  # bf16 mantissa
+    # pngs must be bit-identical: to8b(unpacked) == to8b(f32)
+    from dmnerf_tpu.utils.viz import to8b
+    np.testing.assert_array_equal(to8b(got[0]), to8b(ref[0]))

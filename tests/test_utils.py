@@ -69,3 +69,22 @@ def test_native_load_failure_fallback(tmp_path, monkeypatch):
     vol[2:6, 2:6, 2:6] = 1.0
     v, f, n = marching_tetrahedra(vol, 0.5)
     assert len(v) > 0 and len(f) > 0
+
+
+def test_pe_grouped_permutation_identity():
+    """positional_encoding_grouped == positional_encoding with channels
+    permuted by pe_group_permutation (bit-exact: band products are powers
+    of two both ways)."""
+    import numpy as np
+
+    from dmnerf_tpu.core.encoding import (pe_group_permutation,
+                                          positional_encoding,
+                                          positional_encoding_grouped)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(17, 3)).astype(np.float32) * 2
+    for multires in (1, 4, 10):
+        ref = np.asarray(positional_encoding(x, multires))
+        grp = np.asarray(positional_encoding_grouped(x, multires))
+        perm = pe_group_permutation(multires)
+        np.testing.assert_array_equal(grp, ref[:, perm])
