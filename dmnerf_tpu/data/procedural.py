@@ -103,32 +103,60 @@ def field_at(pts, objs: List[Obj], xp=np):
     return sigma, rgb, label
 
 
+def _march_chunk(pose, j, i, Kr, z, dists0, objs, xp):
+    """One row-chunk of dense marching. pose [3,4] f32; j/i pixel coords."""
+    dirs = xp.stack([(i - Kr[0, 2]) / Kr[0, 0], (j - Kr[1, 2]) / Kr[1, 1],
+                     Kr[2, 2] * xp.ones_like(i)], -1)
+    rays_d = (dirs @ pose[:3, :3].T).astype(np.float32)
+    rays_o = xp.broadcast_to(pose[:3, 3], rays_d.shape)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z[:, None]
+    sigma, rgb, lab = field_at(pts, objs, xp)
+    dists = dists0 * xp.linalg.norm(rays_d, axis=-1)[..., None]
+    alpha = 1.0 - xp.exp(-sigma * dists)
+    trans = xp.cumprod(xp.concatenate(
+        [xp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1), -1)[..., :-1]
+    w = alpha * trans
+    img = (w[..., None] * rgb).sum(-2).astype(np.float32)
+    top = xp.argmax(w, axis=-1)
+    lab_img = xp.take_along_axis(lab, top[..., None], -1)[..., 0]
+    return img, lab_img
+
+
+_JIT_CACHE = {}
+
+
 def render_gt(pose, H, W, K, near, far, objs, n_samples=192, row_chunk=60,
               xp=np):
-    """Dense-march GT (image f32 [H,W,3], labels int32 [H,W]), row-chunked."""
-    pose = np.asarray(pose, np.float64)
+    """Dense-march GT (image f32 [H,W,3], labels int32 [H,W]), row-chunked.
+    With xp=jax.numpy the whole chunk march is ONE jitted dispatch (eager
+    per-op dispatch over the axon tunnel is ~1000x slower)."""
+    if H % row_chunk:
+        row_chunk = next(c for c in range(row_chunk, 0, -1) if H % c == 0)
+    pose34 = np.asarray(pose, np.float32)[:3, :4]
+    Kr = np.asarray(K, np.float32)
+    z = np.linspace(near, far, n_samples, dtype=np.float32)
+    dists0 = np.append(np.diff(z), np.float32(1e10)).astype(np.float32)
+
+    fn = None
+    if xp is not np:
+        import jax
+        # keyed by the LIST identity: edited_objects returns a fresh list, and
+        # callers keep each scene's list alive for the render batch
+        key = (id(objs), len(objs), row_chunk, W, n_samples)
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(lambda pose, j, i, Kr, z, d0: _march_chunk(
+                pose, j, i, Kr, z, d0, objs, xp))
+            _JIT_CACHE[key] = fn
+
     imgs, labs = [], []
-    z = xp.linspace(near, far, n_samples, dtype=np.float32)
-    dists0 = xp.concatenate([z[1:] - z[:-1], xp.full((1,), 1e10, np.float32)])
-    Kr = np.asarray(K, np.float64)
     for r0 in range(0, H, row_chunk):
-        r1 = min(H, r0 + row_chunk)
-        j, i = xp.meshgrid(xp.arange(r0, r1, dtype=np.float32),
-                           xp.arange(W, dtype=np.float32), indexing="ij")
-        dirs = xp.stack([(i - Kr[0, 2]) / Kr[0, 0], (j - Kr[1, 2]) / Kr[1, 1],
-                         Kr[2, 2] * xp.ones_like(i)], -1)
-        rays_d = (dirs @ xp.asarray(pose[:3, :3].T, np.float32)).astype(np.float32)
-        rays_o = xp.broadcast_to(xp.asarray(pose[:3, 3], np.float32), rays_d.shape)
-        pts = rays_o[..., None, :] + rays_d[..., None, :] * z[:, None]
-        sigma, rgb, lab = field_at(pts, objs, xp)
-        dists = dists0 * xp.linalg.norm(rays_d, axis=-1)[..., None]
-        alpha = 1.0 - xp.exp(-sigma * dists)
-        trans = xp.cumprod(xp.concatenate(
-            [xp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1), -1)[..., :-1]
-        w = alpha * trans
-        img = (w[..., None] * rgb).sum(-2).astype(np.float32)
-        top = xp.argmax(w, axis=-1)
-        lab_img = xp.take_along_axis(lab, top[..., None], -1)[..., 0]
+        j, i = np.meshgrid(np.arange(r0, r0 + row_chunk, dtype=np.float32),
+                           np.arange(W, dtype=np.float32), indexing="ij")
+        if fn is not None:
+            img, lab_img = fn(pose34, j, i, Kr, z, dists0)
+        else:
+            img, lab_img = _march_chunk(pose34, j, i, Kr, z, dists0, objs, np)
         imgs.append(np.asarray(img))
         labs.append(np.asarray(lab_img))
     return np.concatenate(imgs, 0), np.concatenate(labs, 0).astype(np.int32)
