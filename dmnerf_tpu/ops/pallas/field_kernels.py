@@ -74,6 +74,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _force_shard_map() -> bool:
+    """Test-only: DMNERF_FORCE_SHARD_MAP=1 routes kernels through the
+    shard_map wrapper even on a 1-device mesh, so the wrapped (Mosaic-lowered)
+    path compiles and runs on real hardware — otherwise it is only ever
+    exercised in CPU interpret mode (1 real chip on the bench box)."""
+    return _os.environ.get("DMNERF_FORCE_SHARD_MAP", "") == "1"
+
+
 def pack_params(params, cfg: FieldConfig):
     """Pack the field param pytree into MXU-aligned fp32 operands.
 
@@ -406,7 +414,7 @@ def make_field(cfg: FieldConfig, trainable: bool, mesh=None,
         enc_x, pad = _pad_rows(enc_x, tile)
         enc_d, _ = _pad_rows(enc_d, tile)
         wb = pack_params(params, cfg)
-        if n_shards > 1:
+        if n_shards > 1 or (mesh is not None and _force_shard_map()):
             from jax.sharding import PartitionSpec as P
             fn = jax.shard_map(
                 call, mesh=mesh,

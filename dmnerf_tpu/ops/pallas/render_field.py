@@ -211,7 +211,8 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
         return zer(pts), viewdirs, zer(z), rays_d
 
     def run(enc_x, enc_d, z, dists, wb, dirs_replicated):
-        if n_shards > 1:
+        from dmnerf_tpu.ops.pallas.field_kernels import _force_shard_map
+        if n_shards > 1 or (mesh is not None and _force_shard_map()):
             from jax.sharding import PartitionSpec as P
             d_spec = P() if dirs_replicated else P(axis_name)
             fn = jax.shard_map(

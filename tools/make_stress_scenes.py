@@ -75,7 +75,7 @@ class Renderer:
 
 # ------------------------------------------------------------------- DM-SR
 
-def write_dmsr(out, rend, n_obj=16, H=480, W=640, n_train=24, n_test=4,
+def write_dmsr(out, rend, n_obj=16, H=480, W=640, n_train=48, n_test=4,
                target_label=5, mani_mode="translation"):
     base = os.path.join(out, "dmsr", "stress")
     objs = make_objects(n_obj, seed=0)
