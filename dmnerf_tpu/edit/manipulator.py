@@ -45,7 +45,9 @@ def exchanger(ori_raw, tar_raws: Sequence[jnp.ndarray], ori_accum_ins,
     the argmax, which argmax-equals dropping air directly).
     """
     S = ori_raw.shape[1]
-    ori_pred_label = jnp.argmax(jax.nn.sigmoid(ori_raw[..., 4:]), axis=-1)  # [N, S]
+    # argmax(sigmoid(x)) == argmax(x): skip the [N,S,K] sigmoid the reference
+    # applies before its argmaxes (manipulator.py:21,46) — identical labels
+    ori_pred_label = jnp.argmax(ori_raw[..., 4:], axis=-1)                   # [N, S]
     ori_accum_label = jnp.argmax(ori_accum_ins[..., :-1], axis=-1)          # [N]
     ori_accum_label = jnp.broadcast_to(ori_accum_label[:, None], ori_pred_label.shape)
 
@@ -63,7 +65,7 @@ def exchanger(ori_raw, tar_raws: Sequence[jnp.ndarray], ori_accum_ins,
         # filling: ray-level label says object, per-point labels don't
         fillings = (ori_pred_label != move_label) & (ori_accum_label == move_label)
 
-        tar_pred_label = jnp.argmax(jax.nn.sigmoid(tar_raw[..., 4:]), axis=-1)
+        tar_pred_label = jnp.argmax(tar_raw[..., 4:], axis=-1)
         tar_accum_label = jnp.argmax(tar_accum[..., :-1], axis=-1)
         tar_accum_label = jnp.broadcast_to(tar_accum_label[:, None],
                                            tar_pred_label.shape)
@@ -143,13 +145,15 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
     all_tar_zs = jnp.concatenate(tar_zs_list, -1)  # [N, n_imp * n_obj]
     ori_z2 = jnp.sort(jnp.concatenate([ori_z, ori_zs2, all_tar_zs], -1), -1)
 
-    # pass 2: fine fields on the z union, exchange again, final composite
+    # pass 2: fine fields on the z union, exchange again, final composite.
+    # The reference's per-object union sort(cat([tar_z, ori_zs2, all_tar_zs]))
+    # (manipulator.py:196) uses the det coarse linspace tar_z == ori_z, so the
+    # union IS ori_z2 — reuse it instead of re-sorting [N, 192+128*n_obj] per
+    # object (and the reference recomputes the ori fine raw inside its object
+    # loop, manipulator.py:194 — hoisted here, same result).
     ori_raw_f = _field_raw(fine_fn, ori_o, ori_d, ori_z2)
-    tar_raws_f = []
-    for i, (tar_o, tar_d) in enumerate(tar_rays):
-        tar_z = z_val_sample(N, near, far, n_samples)
-        tar_z2 = jnp.sort(jnp.concatenate([tar_z, ori_zs2, all_tar_zs], -1), -1)
-        tar_raws_f.append(_field_raw(fine_fn, tar_o, tar_d, tar_z2))
+    tar_raws_f = [_field_raw(fine_fn, tar_o, tar_d, ori_z2)
+                  for (tar_o, tar_d) in tar_rays]
 
     final_raw = exchanger(ori_raw_f, tar_raws_f, ori_accum, tar_accums, move_labels)
     _f = composite(final_raw, ori_z2, ori_d, keep_air=True)
