@@ -126,6 +126,11 @@ def main(argv=None):
     elif args.mani_eval:
         from dmnerf_tpu.edit.runner import manipulator_eval
         from dmnerf_tpu.edit.transforms import generate_poses_eval, load_mani_poses
+        if getattr(args, "resolve_target_label", False):
+            from dmnerf_tpu.edit.runner import resolve_target_channel
+            plain = load_dataset(args)  # unedited scene (GT labels per view)
+            args.target_label = resolve_target_channel(cfg, params, args,
+                                                       plain, mesh=mesh)
         generate_poses_eval(args)
         trans_dicts = load_mani_poses(args)
         savedir = os.path.join(ldir, f"mani_eval_{iteration:06d}")

@@ -128,6 +128,11 @@ FLAG_SPECS: List[FlagSpec] = [
     FlagSpec("debug_nans", bool, False, "enable jax debug_nans (the reference keeps "
              "torch's anomaly detector ALWAYS on, dm_nerf.py:5 — a perf bug; here it's opt-in)",
              store_true=True),
+    FlagSpec("resolve_target_label", bool, False, "treat --target_label as a GT "
+             "instance label and resolve it to the trained model's instance "
+             "CHANNEL by Hungarian-matching rendered test views (the Hungarian "
+             "loss leaves channel<->object binding arbitrary; the reference's "
+             "configs hardcode per-checkpoint channel ids)", store_true=True),
     FlagSpec("init_scheme", str, "he", "field weight init: he (dead-seed-safe default) | torch (reference's exact nn.Linear distribution, for parity experiments)"),
     FlagSpec("mesh_grid_dim", int, 256, "marching-cubes grid resolution"),
     FlagSpec("mesh_extents", str, "1.9,7.0,7.0", "scene extents for meshing"),

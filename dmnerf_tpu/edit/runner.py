@@ -83,6 +83,48 @@ def _prefetch_map(dispatch, items):
         yield _fetch_edit_image(pending)
 
 
+def resolve_target_channel(cfg, params, args, scene, mesh=None, n_views=3):
+    """Map a GT instance label -> the trained model's instance CHANNEL.
+
+    DM-NeRF's Hungarian instance loss free-assigns prediction channels to
+    objects every step (/root/reference/networks/evaluator.py:41-74), so a
+    trained model's channel<->object binding is an arbitrary permutation. The
+    reference's --target_label is therefore in CHANNEL space — its authors
+    picked the value per trained checkpoint by inspecting renders
+    (manipulator_eval consumes it raw, manipulator.py:231). For automated
+    flows this renders up to n_views UNEDITED test views, Hungarian-matches
+    prediction channels to GT labels (the same matching ins_eval/the render
+    eval's matching_log.json uses), and majority-votes the channel bound to
+    args.target_label. Opt-in via --resolve_target_label; default behavior
+    stays reference-exact (target_label used as the channel)."""
+    from collections import Counter
+
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+
+    render_im = make_image_renderer(cfg, args, scene.H, scene.W, mesh=mesh,
+                                    use_pallas=getattr(args, "use_pallas", False))
+    H, W, K = scene.hwk
+    target = int(args.target_label)
+    votes = Counter()
+    for vi in list(scene.i_test)[:n_views]:
+        _, label, conf, _ = render_im(params, K, np.asarray(scene.poses[vi]))
+        gt_label = np.asarray(scene.gt_labels[vi])
+        _, _, matched = ins_eval_from_labels(label, conf, gt_label,
+                                             args.ins_num)
+        valid_gt = np.unique(gt_label)
+        for idx, ch in enumerate(matched):
+            if ch != -1 and int(valid_gt[idx]) == target:
+                votes[int(ch)] += 1
+    if not votes:
+        raise ValueError(
+            f"--resolve_target_label: GT label {target} was not matched to "
+            f"any prediction channel in {n_views} test views")
+    ch, n = votes.most_common(1)[0]
+    print(f"[MANI] resolved GT label {target} -> instance channel {ch} "
+          f"({n}/{sum(votes.values())} view votes)")
+    return ch
+
+
 def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgbs,
                      args, gt_rgbs=None, gt_labels=None, color_dict=None,
                      mesh=None):

@@ -136,7 +136,10 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
             t_window = time.time()
             rays_done = 0
 
-        if crossed(args.i_save):
+        # also save the FINAL state even when n_iters isn't a multiple of
+        # i_save (the reference silently loses the tail steps at test time —
+        # train_dmsr.py:78-86 only saves on i_save multiples)
+        if crossed(args.i_save) or done == n_iters:
             save_checkpoint(ldir, state, done)
 
         if crossed(eval_every) and done < n_iters:
