@@ -165,8 +165,9 @@ def test_loop_cadences_fire_with_non_dividing_stride(tmp_path):
     s = train(args, scene, n_iters=10, eval_every=0, scan_steps=3)
     assert int(s.step) == 10
     ldir = os.path.join(str(tmp_path), "stride_t", "t")
-    # save multiples 4 and 8 crossed at done=6 and done=9
+    # save multiples 4 and 8 crossed at done=6 and done=9; the final state
+    # (10) is always saved so test-time never loses the tail steps
     ckpts = sorted(os.path.basename(p) for p in glob.glob(os.path.join(ldir, "ckpt_*")))
-    assert ckpts == ["ckpt_000006", "ckpt_000009"], ckpts
+    assert ckpts == ["ckpt_000006", "ckpt_000009", "ckpt_000010"], ckpts
     rows = [l for l in open(os.path.join(ldir, "metrics.jsonl"))]
     assert len(rows) >= 3  # printed at 6, 9, 10(final)
