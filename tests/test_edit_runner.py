@@ -72,3 +72,46 @@ def test_manipulator_demo_runs(tmp_path):
     d = os.path.join(tmp_path, "rigid")
     assert os.path.exists(os.path.join(d, "0_rgb.png"))
     assert os.path.exists(os.path.join(d, "0_ins_pred_mask.png"))
+
+
+def test_resolve_target_channel(monkeypatch, tmp_path):
+    """--resolve_target_label: a GT instance label must resolve to the trained
+    model's prediction CHANNEL (the Hungarian loss leaves the binding an
+    arbitrary permutation). Fake the renderer with a known permutation and
+    check the majority vote recovers it."""
+    import dmnerf_tpu.eval.renderer as renderer_mod
+    from dmnerf_tpu.edit.runner import resolve_target_channel
+
+    scene, args, cfg, state = _setup()
+    args.resolve_target_label = True
+    # channel perm applied to GT labels; ins_num channels >= labels present
+    perm = {int(l): int((l * 3 + 2) % scene.ins_num)
+            for l in np.unique(np.asarray(scene.gt_labels))}
+    assert len(set(perm.values())) == len(perm)  # injective
+
+    poses = np.asarray(scene.poses)
+
+    def fake_make_image_renderer(cfg_, args_, H, W, mesh=None,
+                                 use_pallas=False, fused=None):
+        def render_im(params, K, c2w):
+            c2w = np.asarray(c2w)
+            (vi,) = [i for i in range(len(poses))
+                     if np.allclose(poses[i], c2w)]
+            gt = np.asarray(scene.gt_labels[vi])
+            label = np.vectorize(perm.get)(gt).astype(np.int32)
+            conf = np.full(label.shape, 0.9, np.float32)
+            rgb = np.zeros(label.shape + (3,), np.float32)
+            depth = np.ones(label.shape, np.float32)
+            return rgb, label, conf, depth
+        return render_im
+
+    monkeypatch.setattr(renderer_mod, "make_image_renderer",
+                        fake_make_image_renderer)
+    ch = resolve_target_channel(cfg, state.params, args, scene)
+    assert ch == perm[int(args.target_label)]
+
+    # a GT label absent from every test view must raise, not silently pick 0
+    args.target_label = scene.ins_num + 7
+    import pytest
+    with pytest.raises(ValueError):
+        resolve_target_channel(cfg, state.params, args, scene)
