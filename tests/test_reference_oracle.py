@@ -18,6 +18,8 @@ Surfaces covered (verdict r2 item 1):
   9. ins_eval / calculate_ap  (evaluator.py:77-175)      f64, tol 1e-9
  10. hungarian cost matrices  (evaluator.py:41-74)       f64, tol 1e-12
  11. sample_pdf / z_val_sample / get_rays_k (helpers.py) f32/f64
+ 12. pose_spherical + generate_poses_eval (tools/pose_generator.py:29-128)
+     — all 4 modes x all 8 hardcoded scene centers, f64 tol 1e-6
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -682,3 +684,60 @@ def test_z_val_sample_and_rays(ref):
     o_j, d_j = get_rays(120, 160, jnp.asarray(K), jnp.asarray(c2w))
     np.testing.assert_allclose(np.asarray(o_j), o_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=1e-5)
+
+
+# ------------------------------------------------- 12. pose generator (tools/)
+
+def _ref_pose_generator(ref):
+    """Load the reference's tools/pose_generator.py by path (its `tools`
+    package name collides with this repo's tools/)."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_pose_generator", REF + "/tools/pose_generator.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_pose_spherical_matches_reference(ref):
+    from dmnerf_tpu.edit.transforms import pose_spherical
+    rp = _ref_pose_generator(ref)
+    for theta in (-180.0, -30.0, 0.0, 45.0, 120.0):
+        for phi in (-90.0, -30.0, 0.0, 15.0):
+            ours = pose_spherical(theta, phi, 4.0)
+            theirs = rp.pose_spherical(theta, phi, 4.0).numpy()
+            np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_generate_poses_eval_matches_reference(ref, tmp_path):
+    """A/B the T_c^-1 @ M @ T_c eval transforms (pose_generator.py:53-128)
+    for every mode x every hardcoded scene center."""
+    from dmnerf_tpu.edit.transforms import MANI_CENTERS, generate_poses_eval
+    rp = _ref_pose_generator(ref)
+
+    for scene in MANI_CENTERS:
+        for mode in ("translation", "rotation", "scale", "multi"):
+            ref_dir = tmp_path / "ref" / scene
+            our_dir = tmp_path / "ours" / scene
+            (ref_dir / "mani" / mode).mkdir(parents=True, exist_ok=True)
+            ref_args = types.SimpleNamespace(datadir=str(ref_dir),
+                                             mani_mode=mode, expname=scene)
+            our_args = types.SimpleNamespace(datadir=str(our_dir),
+                                             mani_mode=mode, expname=scene)
+            theirs = rp.generate_poses_eval(ref_args)
+            ours = generate_poses_eval(our_args)
+            tl = theirs["transformations"]
+            ol = ours["transformations"]
+            assert len(tl) == len(ol) == 1
+            assert ol[0]["mode"] == tl[0]["mode"] == mode
+            np.testing.assert_allclose(
+                np.array(ol[0]["transformation"]),
+                np.array(tl[0]["transformation"]), atol=1e-6,
+                err_msg=f"{scene}/{mode}")
+            # both persist loadable jsons at the same relative path
+            import json as _json
+            with open(ref_dir / "mani" / mode /
+                      "transformation_matrix.json") as f:
+                _json.load(f)
+            with open(our_dir / "mani" / mode /
+                      "transformation_matrix.json") as f:
+                _json.load(f)
