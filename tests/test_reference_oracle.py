@@ -18,8 +18,10 @@ Surfaces covered (verdict r2 item 1):
   9. ins_eval / calculate_ap  (evaluator.py:77-175)      f64, tol 1e-9
  10. hungarian cost matrices  (evaluator.py:41-74)       f64, tol 1e-12
  11. sample_pdf / z_val_sample / get_rays_k (helpers.py) f32/f64
- 12. pose_spherical + generate_poses_eval (tools/pose_generator.py:29-128)
-     — all 4 modes x all 8 hardcoded scene centers, f64 tol 1e-6
+ 12. pose_spherical + generate_poses_eval + generate_poses_demo
+     (tools/pose_generator.py:29-232) — eval: all 4 modes x all 8 hardcoded
+     scene centers; demo: cumulative translation / rotation sweep / scale /
+     multi sequences; f64 tol 1e-6
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -741,3 +743,41 @@ def test_generate_poses_eval_matches_reference(ref, tmp_path):
             with open(our_dir / "mani" / mode /
                       "transformation_matrix.json") as f:
                 _json.load(f)
+
+
+def test_generate_poses_demo_matches_reference(ref, tmp_path):
+    """A/B the demo per-object transform sequences (pose_generator.py:131-232):
+    cumulative translation steps, linspace rotation sweep, scale/multi, deform
+    skipped."""
+    import json as _json
+
+    from dmnerf_tpu.edit.transforms import generate_poses_demo
+    rp = _ref_pose_generator(ref)
+
+    objs = [
+        {"obj_name": "a", "mani_mode": "translation",
+         "obj_center": [0.5, -1.0, 0.25], "distance": [0.6, -0.4]},
+        {"obj_name": "b", "mani_mode": "rotation",
+         "obj_center": [-0.2, 0.3, 1.0], "rotation": 90.0},
+        {"obj_name": "c", "mani_mode": "scale", "obj_center": [0.0, 0.0, 0.0]},
+        {"obj_name": "d", "mani_mode": "multi", "obj_center": [1.0, 2.0, 3.0]},
+        {"obj_name": "e", "mani_mode": "deform", "obj_center": [0, 0, 0],
+         "deform_func": "sin"},
+    ]
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    (ref_dir / "mani").mkdir(parents=True)
+    rp.generate_poses_demo(objs, types.SimpleNamespace(datadir=str(ref_dir),
+                                                       views=4))
+    with open(ref_dir / "mani" / "transformation_matrix.json") as f:
+        theirs = _json.load(f)
+    ours = generate_poses_demo(objs, types.SimpleNamespace(datadir=str(our_dir),
+                                                           views=4))
+    assert set(ours) == set(theirs) == {"a", "b", "c", "d"}  # deform skipped
+    for name in ours:
+        assert len(ours[name]) == len(theirs[name]), name
+        for o, t in zip(ours[name], theirs[name]):
+            assert o["mode"] == t["mode"]
+            np.testing.assert_allclose(np.array(o["transformation"]),
+                                       np.array(t["transformation"]),
+                                       atol=1e-6, err_msg=name)
