@@ -52,7 +52,13 @@ def map_ins_ids(ins_image: np.ndarray, sem_id: np.ndarray) -> np.ndarray:
     ins = ins_image.copy()
     ins[sem_id == -1] = -1
     out = np.full(ins.shape, -1, np.int16)
-    valid = sorted(set(np.unique(ins).tolist()) - {-1})
+    # id assignment order: the reference iterates `list(set(unique) - {-1})`
+    # (preprocess.py:146) — CPython set (hash-slot) order, NOT sorted order.
+    # The assigned ids persist into the npz artifacts and color_dict.json is
+    # keyed by them, so we reproduce that order exactly (same interpreter,
+    # same int hashing); verified by the A/B test against the reference's own
+    # map_ins_id on tests/test_preprocess.py.
+    valid = list(set(np.unique(ins).tolist()) - {-1})
     for new_id, ins_i in enumerate(valid):
         sems = np.unique(sem_id[ins == ins_i])
         if len(sems) > 1:
