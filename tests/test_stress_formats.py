@@ -1,11 +1,16 @@
-"""Stress-scene writers round-trip through the REAL dataset loaders.
+"""Stress-scene writers round-trip through the REAL dataset loaders, and the
+loaders are A/B'd against the reference's own loader modules on the same
+directories.
 
 tools/make_stress_scenes.py writes fixtures in the three reference on-disk
 layouts; these tests generate tiny instances and load them back through
 data.dmsr / data.dmsr_mani / data.replica / data.scannet — the same loader
-path the CLIs use — validating the format contract end to end on CPU.
+path the CLIs use — validating the format contract end to end on CPU. The
+*_matches_reference tests then run /root/reference/datasets/loader_*.py on
+the identical files and assert the full load_data outputs agree.
 """
 
+import importlib.util
 import os
 import sys
 import types
@@ -18,10 +23,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.make_stress_scenes import (Renderer, write_dmsr, write_replica,
                                       write_scannet)
 
+REF = "/root/reference"
+
+# the reference loaders call the deprecated imageio v2 top-level imread
+pytestmark = pytest.mark.filterwarnings(
+    "ignore::DeprecationWarning")
+
 
 @pytest.fixture(scope="module")
 def rend():
     return Renderer("cpu", n_samples=48)
+
+
+@pytest.fixture(scope="module")
+def dmsr_scene(tmp_path_factory, rend):
+    out = str(tmp_path_factory.mktemp("stress"))
+    write_dmsr(out, rend, n_obj=5, H=24, W=32, n_train=3, n_test=2,
+               target_label=2)
+    return os.path.join(out, "dmsr", "stress")
+
+
+@pytest.fixture(scope="module")
+def replica_scene(tmp_path_factory, rend):
+    out = str(tmp_path_factory.mktemp("stress_r"))
+    write_replica(out, rend, n_obj=3, H=16, W=20)
+    return os.path.join(out, "replica", "stress")
+
+
+@pytest.fixture(scope="module")
+def scannet_scene(tmp_path_factory, rend):
+    out = str(tmp_path_factory.mktemp("stress_s"))
+    write_scannet(out, rend, n_obj=5, H=24, W=32, n_train=3, n_test=2)
+    return os.path.join(out, "scannet", "stress")
 
 
 def _args(**kw):
@@ -29,11 +62,30 @@ def _args(**kw):
     return types.SimpleNamespace(**kw)
 
 
-def test_dmsr_writer_roundtrip(tmp_path_factory, rend):
-    out = str(tmp_path_factory.mktemp("stress"))
-    write_dmsr(out, rend, n_obj=5, H=24, W=32, n_train=3, n_test=2,
-               target_label=2)
-    datadir = os.path.join(out, "dmsr", "stress")
+def _load_ref_loader(name):
+    """Load /root/reference/datasets/loader_<name>.py by path. Its
+    `from tools.pose_generator import pose_spherical` collides with this
+    repo's tools/ namespace package, so the reference's pose_generator is
+    pre-registered under that module name."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)  # pose_generator imports networks.helpers
+    key = "tools.pose_generator"
+    if key not in sys.modules or not getattr(sys.modules[key], "_IS_REF", False):
+        spec = importlib.util.spec_from_file_location(
+            key, os.path.join(REF, "tools", "pose_generator.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod._IS_REF = True
+        sys.modules[key] = mod
+    spec = importlib.util.spec_from_file_location(
+        f"ref_loader_{name}", os.path.join(REF, "datasets", f"loader_{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dmsr_writer_roundtrip(dmsr_scene):
+    datadir = dmsr_scene
 
     from dmnerf_tpu.data.dmsr import load_data
     sc = load_data(_args(datadir=datadir, is_train=True))
@@ -65,13 +117,9 @@ def test_dmsr_writer_roundtrip(tmp_path_factory, rend):
     assert sd.view_poses is not None
 
 
-def test_replica_writer_roundtrip(tmp_path_factory, rend):
-    out = str(tmp_path_factory.mktemp("stress_r"))
-    write_replica(out, rend, n_obj=3, H=16, W=20)
-    datadir = os.path.join(out, "replica", "stress")
-
+def test_replica_writer_roundtrip(replica_scene):
     from dmnerf_tpu.data.replica import load_data
-    sc = load_data(_args(datadir=datadir, testskip=8))
+    sc = load_data(_args(datadir=replica_scene, testskip=8))
     assert sc.images.shape[1:] == (16, 20, 3)
     assert len(sc.i_train) == 180
     assert sc.ins_num == 4
@@ -79,13 +127,9 @@ def test_replica_writer_roundtrip(tmp_path_factory, rend):
     assert np.isfinite(sc.poses).all()
 
 
-def test_scannet_writer_roundtrip(tmp_path_factory, rend):
-    out = str(tmp_path_factory.mktemp("stress_s"))
-    write_scannet(out, rend, n_obj=5, H=24, W=32, n_train=3, n_test=2)
-    datadir = os.path.join(out, "scannet", "stress")
-
+def test_scannet_writer_roundtrip(scannet_scene):
     from dmnerf_tpu.data.scannet import load_data
-    sc = load_data(_args(datadir=datadir, resize=False,
+    sc = load_data(_args(datadir=scannet_scene, resize=False,
                          crop_width=24, crop_height=16))
     assert sc.images.shape == (5, 24, 32, 3)
     # room was written as -1 (unlabeled) -> remapped to ins_num; ins_num is
@@ -99,3 +143,99 @@ def test_scannet_writer_roundtrip(tmp_path_factory, rend):
     flat_mask = sc.crop_mask.reshape(-1)
     for ix in sc.ins_indices:
         assert (flat_mask[ix] == 1).all()
+
+
+# ------------------------------------------------ reference-loader A/B tests
+
+def test_dmsr_loader_matches_reference(dmsr_scene):
+    rl = _load_ref_loader("dmsr")
+    from dmnerf_tpu.data.dmsr import load_data
+
+    ref_args = _args(datadir=dmsr_scene, is_train=True, mesh=False,
+                     mani_demo=False, mani_type="rigid", views=3)
+    (imgs, poses, hwk, i_split, gt_labels, ins_rgbs, ins_num, objs,
+     view_poses, ins_map) = rl.load_data(ref_args)
+    sc = load_data(_args(datadir=dmsr_scene, is_train=True))
+
+    np.testing.assert_allclose(sc.images, imgs, atol=0)
+    np.testing.assert_array_equal(sc.poses, poses)
+    assert (sc.H, sc.W) == (hwk[0], hwk[1])
+    np.testing.assert_allclose(sc.K, hwk[2], atol=1e-12)
+    np.testing.assert_array_equal(sc.i_train, i_split[0])
+    np.testing.assert_array_equal(sc.i_test, i_split[1])
+    np.testing.assert_array_equal(sc.gt_labels, gt_labels)
+    np.testing.assert_array_equal(sc.ins_rgbs, ins_rgbs)
+    assert sc.ins_num == ins_num
+    assert objs is None and view_poses is None and ins_map is None
+
+    # test-time spherical view poses (loader_dmsr.py:122-126)
+    ref_args2 = _args(datadir=dmsr_scene, is_train=False, mesh=False,
+                      mani_demo=False, mani_type="rigid", views=3)
+    out2 = rl.load_data(ref_args2)
+    sc2 = load_data(_args(datadir=dmsr_scene, is_train=False, views=3))
+    np.testing.assert_allclose(np.asarray(sc2.view_poses),
+                               np.asarray(out2[8]), atol=1e-6)
+
+    # mesh/demo metadata path (objs_info_rigid.json + view_id poses)
+    ref_args3 = _args(datadir=dmsr_scene, is_train=False, mesh=True,
+                      mani_demo=False, mani_type="rigid", views=2)
+    out3 = rl.load_data(ref_args3)
+    sc3 = load_data(_args(datadir=dmsr_scene, is_train=False, mesh=True,
+                          mani_type="rigid", views=2))
+    assert sc3.objs == out3[7]
+    np.testing.assert_allclose(np.asarray(sc3.view_poses),
+                               np.asarray(out3[8]), atol=0)
+    assert sc3.ins_map == out3[9]
+
+
+def test_replica_loader_matches_reference(replica_scene):
+    rl = _load_ref_loader("replica")
+    from dmnerf_tpu.data.replica import load_data
+
+    imgs, poses, hwk, i_split, gt_labels, ins_rgbs, ins_num = rl.load_data(
+        _args(datadir=replica_scene, testskip=8))
+    sc = load_data(_args(datadir=replica_scene, testskip=8))
+
+    np.testing.assert_allclose(sc.images, imgs, atol=0)
+    np.testing.assert_allclose(sc.poses, poses, atol=1e-6)
+    assert (sc.H, sc.W) == (hwk[0], hwk[1])
+    np.testing.assert_allclose(sc.K, hwk[2], atol=1e-12)
+    np.testing.assert_array_equal(sc.i_train, i_split[0])
+    np.testing.assert_array_equal(sc.i_test, i_split[1])
+    np.testing.assert_array_equal(sc.gt_labels, gt_labels)
+    np.testing.assert_array_equal(sc.ins_rgbs, ins_rgbs)
+    assert sc.ins_num == ins_num
+
+
+def test_scannet_loader_matches_reference(scannet_scene):
+    rl = _load_ref_loader("scannet")
+    from dmnerf_tpu.data.scannet import load_data
+
+    (imgs, poses, hwk, i_split, gt_labels, ins_rgbs, ins_num, ins_indices,
+     crop_mask) = rl.load_data(_args(datadir=scannet_scene, resize=False,
+                                     crop_width=24, crop_height=16))
+    sc = load_data(_args(datadir=scannet_scene, resize=False,
+                         crop_width=24, crop_height=16))
+
+    np.testing.assert_allclose(sc.images, imgs, atol=0)
+    np.testing.assert_allclose(sc.poses, poses, atol=0)
+    assert (sc.H, sc.W) == (hwk[0], hwk[1])
+    np.testing.assert_allclose(sc.K, np.asarray(hwk[2])[:3, :3], atol=0)
+    np.testing.assert_array_equal(sc.i_train, i_split[0])
+    np.testing.assert_array_equal(sc.i_test, i_split[1])
+    # the reference's selected_pixels mutates gt_labels THROUGH A RESHAPE VIEW
+    # (loader_scannet.py:141-145): out-of-crop pixels get overwritten to
+    # ins_num ("air") as a side effect. Those pixels are cropped before any
+    # downstream use, so we keep the true labels there (documented deviation,
+    # PARITY.md); inside the crop both must agree exactly.
+    cm = np.asarray(crop_mask) == 1
+    np.testing.assert_array_equal(sc.gt_labels[:, cm], gt_labels[:, cm])
+    assert (np.asarray(gt_labels)[:, ~cm] == ins_num).all()  # their side effect
+    assert (np.asarray(sc.gt_labels)[:, ~cm] != ins_num).any()  # ours preserved
+    np.testing.assert_array_equal(sc.ins_rgbs, ins_rgbs)
+    assert sc.ins_num == ins_num
+    np.testing.assert_array_equal(sc.crop_mask, crop_mask)
+    assert len(sc.ins_indices) == len(ins_indices)
+    for ours, theirs in zip(sc.ins_indices, ins_indices):
+        np.testing.assert_array_equal(np.sort(np.asarray(ours)),
+                                      np.sort(np.asarray(theirs)))
