@@ -239,3 +239,20 @@ def test_scannet_loader_matches_reference(scannet_scene):
     for ours, theirs in zip(sc.ins_indices, ins_indices):
         np.testing.assert_array_equal(np.sort(np.asarray(ours)),
                                       np.sort(np.asarray(theirs)))
+
+
+def test_dmsr_mani_loader_matches_reference(dmsr_scene):
+    rl = _load_ref_loader("dmsr_mani")
+    from dmnerf_tpu.data.dmsr_mani import load_data
+
+    imgs, poses, hwk, gt_labels, ins_rgbs, ins_num = rl.load_data(
+        _args(datadir=dmsr_scene, mani_mode="translation"))
+    sc = load_data(_args(datadir=dmsr_scene, mani_mode="translation"))
+
+    np.testing.assert_allclose(sc.images, imgs, atol=0)
+    np.testing.assert_array_equal(sc.poses, poses)
+    assert (sc.H, sc.W) == (hwk[0], hwk[1])
+    np.testing.assert_allclose(sc.K, hwk[2], atol=1e-12)
+    np.testing.assert_array_equal(sc.gt_labels, gt_labels)
+    np.testing.assert_array_equal(sc.ins_rgbs, ins_rgbs)
+    assert sc.ins_num == ins_num
