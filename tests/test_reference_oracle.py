@@ -22,6 +22,8 @@ Surfaces covered (verdict r2 item 1):
      (tools/pose_generator.py:29-232) — eval: all 4 modes x all 8 hardcoded
      scene centers; demo: cumulative translation / rotation sweep / scale /
      multi sequences; f64 tol 1e-6
+ 13. visualizer label->color mappers (tools/visualizer.py:7-19,57-86,208-223)
+     — exact uint8 equality incl. partial color_dict/ins_map coverage
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -781,3 +783,48 @@ def test_generate_poses_demo_matches_reference(ref, tmp_path):
             np.testing.assert_allclose(np.array(o["transformation"]),
                                        np.array(t["transformation"]),
                                        atol=1e-6, err_msg=name)
+
+
+# ------------------------------------------------- 13. visualizer (tools/)
+
+def test_visualizer_label_mappers_match_reference(ref):
+    """A/B the label->color mappers (tools/visualizer.py:7-19,57-86,208-223):
+    ins2img (label 0 black), render_label2img / render_gt_label2img /
+    render_label2world with partial color_dict / ins_map key coverage."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_visualizer", REF + "/tools/visualizer.py")
+    rv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rv)
+
+    from dmnerf_tpu.utils import viz
+
+    rng = np.random.default_rng(21)
+    K = 7
+    rgbs = rng.integers(0, 256, (K, 3)).astype(np.float64)
+    labels = rng.integers(0, K, (9, 11))
+    # partial mappings: one label has no ins_map entry, one gt label no color
+    ins_map = {str(l): int((l + 2) % K) for l in range(K - 1)}
+    color_dict = {str(g): int((g * 3 + 1) % K) for g in range(K)}
+    del color_dict[str((0 + 2) % K + 1)]
+    color_dict.setdefault(str((0 + 2) % K), (0 + 2) % K)  # keep ins_map[0] valid
+    # drop mapped-to gt labels that lost their color_dict entry from ins_map
+    ins_map = {k: v for k, v in ins_map.items() if str(v) in color_dict}
+
+    t_labels = torch.from_numpy(labels)
+    np.testing.assert_array_equal(
+        viz.render_label2img(labels, rgbs, color_dict, ins_map),
+        rv.render_label2img(t_labels, rgbs, color_dict, ins_map))
+    np.testing.assert_array_equal(
+        viz.render_gt_label2img(labels, rgbs, color_dict),
+        rv.render_gt_label2img(t_labels, rgbs, color_dict))
+
+    flat = labels.reshape(-1)
+    np.testing.assert_array_equal(
+        viz.render_label2world(flat, rgbs, color_dict, ins_map),
+        rv.render_label2world(torch.from_numpy(flat), rgbs, color_dict,
+                              ins_map))
+
+    probs = rng.uniform(0, 1, (9, 11, K))
+    np.testing.assert_array_equal(
+        viz.ins2img(probs, rgbs),
+        rv.ins2img(torch.from_numpy(probs), rgbs))
