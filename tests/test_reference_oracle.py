@@ -24,6 +24,8 @@ Surfaces covered (verdict r2 item 1):
      multi sequences; f64 tol 1e-6
  13. visualizer label->color mappers (tools/visualizer.py:7-19,57-86,208-223)
      — exact uint8 equality incl. partial color_dict/ins_map coverage
+ 14. FULL manipulator two-pass pipeline (manipulator.py:86-205) — 2 moved
+     objects, copied weights, det-pinned sample_pdf; f32 tol 2e-4
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -828,3 +830,58 @@ def test_visualizer_label_mappers_match_reference(ref):
     np.testing.assert_array_equal(
         viz.ins2img(probs, rgbs),
         rv.ins2img(torch.from_numpy(probs), rgbs))
+
+
+# ------------------------------------- 14. full manipulator two-pass pipeline
+
+def test_manipulator_pipeline_matches_reference(ref, monkeypatch):
+    """A/B the ENTIRE two-pass edit pipeline (manipulator.py:137-205) — coarse
+    fields on ori+tar rays, fine accumulated labels, exchanger, re-composite,
+    importance-resample, fine pass on the z union, second exchange, final
+    composite — with copied weights, 2 moved objects. The reference calls
+    sample_pdf stochastically (det defaults False) even at eval; both sides
+    are pinned to the deterministic path for the comparison. f32 (the
+    reference hard-casts viewdirs, manipulator.py:112), tol 2e-4."""
+    from dmnerf_tpu.edit.manipulator import manipulate_chunk
+    from dmnerf_tpu.models.fields import apply_field, init_field_params
+
+    cfg = small_cfg(jnp.float32, w=64, ins_num=6, multires=4, multires_views=2)
+    kc, kf = jax.random.split(jax.random.PRNGKey(3))
+    params = {"coarse": init_field_params(kc, cfg, scheme="torch"),
+              "fine": init_field_params(kf, cfg, scheme="torch")}
+
+    rng = np.random.default_rng(7)
+    n, n_obj = 16, 2
+    ori_o, ori_d = rand_rays(rng, n)
+    tar_rays_np = [rand_rays(rng, n) for _ in range(n_obj)]
+    move_labels = [1, 3]
+    n_samples, n_importance, near, far = 8, 8, 0.5, 4.0
+
+    # ---- reference side
+    monkeypatch.setattr(ref.mani, "sample_pdf",
+                        lambda b, w, s: ref.hp.sample_pdf(b, w, s, det=True))
+    pe, _ = ref.dm.get_embedder(cfg.multires)
+    ve, _ = ref.dm.get_embedder(cfg.multires_views)
+    model_c = torch_model_from_params(ref, params["coarse"], cfg)
+    model_f = torch_model_from_params(ref, params["fine"], cfg)
+    t = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    r_args = types.SimpleNamespace(N_samples=n_samples,
+                                   N_importance=n_importance,
+                                   near=near, far=far,
+                                   target_labels=move_labels)
+    with torch.no_grad():
+        f_rgb, f_ins, _, _ = ref.mani.manipulator(
+            pe, ve, model_c, model_f, (t(ori_o), t(ori_d)),
+            [(t(o), t(d)) for (o, d) in tar_rays_np], r_args)
+
+    # ---- our side (XLA field path, literal composite)
+    coarse_fn = lambda pts, vd: apply_field(params["coarse"], cfg, pts, vd)
+    fine_fn = lambda pts, vd: apply_field(params["fine"], cfg, pts, vd)
+    rgb, ins, _, _ = manipulate_chunk(
+        coarse_fn, fine_fn,
+        (jnp.asarray(ori_o), jnp.asarray(ori_d)),
+        [(jnp.asarray(o), jnp.asarray(d)) for (o, d) in tar_rays_np],
+        move_labels, n_samples, n_importance, near, far)
+
+    np.testing.assert_allclose(np.asarray(rgb), f_rgb.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ins), f_ins.numpy(), atol=2e-4)
