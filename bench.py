@@ -110,6 +110,20 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
     rdt = time.perf_counter() - t0
     render_rps = scene.H * scene.W * len(poses_rep) / rdt / n_chips
 
+    # packed-D2H variant (--d2h_pack): device-side rgb->uint8 / conf,depth->
+    # bf16 cuts the tunnel D2H from 24 to 8 B/px; pngs are bit-identical, f32
+    # metrics parity runs keep the default unpacked path
+    args.d2h_pack = True
+    render_pack = make_image_renderer(cfg, args, scene.H, scene.W,
+                                      use_pallas=args.use_pallas)
+    render_pack(state.params, K, poses[0])  # compile
+    t0 = time.perf_counter()
+    for _ in render_pack.many(state.params, K, poses_rep):
+        pass
+    rdt_p = time.perf_counter() - t0
+    render_rps_packed = scene.H * scene.W * len(poses_rep) / rdt_p / n_chips
+    args.d2h_pack = False
+
     # ---- 8-chip projection (BASELINE.md names a v5p-8; this box has 1 chip).
     # DM-NeRF trains ray-parallel: per step the only cross-chip traffic is the
     # fp32 gradient psum over both fields + O(K^2) instance-loss stats. Ring
@@ -134,6 +148,7 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
         "model_tflops_per_sec": round(tfs, 1),
         "mfu_vs_bf16_peak": round(mfu, 3),
         "render_rays_per_sec_per_chip": round(render_rps, 1),
+        "render_rays_per_sec_packed_d2h": round(render_rps_packed, 1),
         "pallas_train": bool(pallas_train),
         "scan_steps_per_dispatch": scan_steps,
         "proj_8chip_grad_psum_mb": round(psum_mb, 2),

@@ -235,3 +235,11 @@ def test_image_renderer_d2h_pack_roundtrip():
     # pngs must be bit-identical: to8b(unpacked) == to8b(f32)
     from dmnerf_tpu.utils.viz import to8b
     np.testing.assert_array_equal(to8b(got[0]), to8b(ref[0]))
+
+    # the pipelined multi-view path (bench.py's packed-render measurement)
+    # must unpack identically to the single-image call
+    poses = np.stack([scene.poses[scene.i_test[0]]] * 2)
+    for many_out in make_image_renderer(cfg, args, 8, 8).many(
+            state.params, scene.K, poses):
+        for m, g in zip(many_out, got):
+            np.testing.assert_array_equal(m, g)
