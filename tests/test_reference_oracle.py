@@ -26,6 +26,9 @@ Surfaces covered (verdict r2 item 1):
      — exact uint8 equality incl. partial color_dict/ins_map coverage
  14. FULL manipulator two-pass pipeline (manipulator.py:86-205) — 2 moved
      objects, copied weights, det-pinned sample_pdf; f32 tol 2e-4
+ 15. FULL render_test entry (tester.py:17-162) — chunked render, metrics,
+     ins_eval, matching_log.json, test_results.txt, pngs; AP columns and all
+     instance/gt artifacts EXACT, rgb within 1 uint8 LSB
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -885,3 +888,138 @@ def test_manipulator_pipeline_matches_reference(ref, monkeypatch):
 
     np.testing.assert_allclose(np.asarray(rgb), f_rgb.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(ins), f_ins.numpy(), atol=2e-4)
+
+
+# ------------------------------------------- 15. full render_test pipeline
+
+def test_render_test_full_pipeline(ref, tmp_path, monkeypatch):
+    """A/B the reference's ENTIRE test-rendering entry (tester.py:17-162) —
+    chunked full-image render, per-view metrics, ins_eval + matching map,
+    png/json/txt artifacts — against eval/tester.py with copied weights.
+
+    The reference's module-level heavy deps are satisfied as: lpips -> a
+    0-returning fake (our column is NaN by gating; col 2 excluded), skimage
+    .metrics -> OUR psnr/ssim (identical on both sides by construction, so the
+    columns compare the *pipeline* — chunk stitching, crop, view pairing, mean
+    row — not the metric impls, which have their own oracle tests). cv2 and
+    imageio are real, so the reference writes its actual artifacts; its
+    cv2-written instance pngs are BGR on disk (PARITY.md) and are compared
+    channel-reversed. The ins head is sharpened (x20 logits) so per-pixel
+    argmax labels are identical despite torch-vs-JAX f32 noise in an untrained
+    net; AP columns and matching_log.json must then match EXACTLY."""
+    import json as _json
+
+    import dmnerf_tpu.eval.metrics as our_metrics
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.eval.renderer import make_image_renderer
+    from dmnerf_tpu.eval.tester import render_test as our_render_test
+    from dmnerf_tpu.models.fields import init_field_params
+
+    # functional stubs (the module fixture registered empty ones)
+    sk = sys.modules.get("skimage.metrics")
+    if sk is not None and not hasattr(sk, "peak_signal_noise_ratio"):
+        sk.peak_signal_noise_ratio = \
+            lambda img, gt, data_range=1: our_metrics.psnr(img, gt, data_range)
+        sk.structural_similarity = \
+            lambda img, gt, multichannel=True, data_range=1: \
+                our_metrics.ssim(img, gt, data_range)
+    lp = sys.modules.get("lpips")
+    if lp is not None and not hasattr(lp, "LPIPS"):
+        class _FakeLPIPS:
+            def __init__(self, net="vgg"):
+                pass
+
+            def to(self, device):
+                return self
+
+            def __call__(self, a, b):
+                return torch.tensor(0.0)
+        lp.LPIPS = _FakeLPIPS
+
+    import networks.tester as r_test
+
+    scene = make_scene(H=16, W=16, n_train=1, n_test=2)
+    cfg = small_cfg(jnp.float32, w=64, ins_num=scene.ins_num,
+                    multires=4, multires_views=2)
+    kc, kf = jax.random.split(jax.random.PRNGKey(11))
+
+    def sharpen(p, s=20.0):
+        p = dict(p)
+        p["ins_out"] = {"w": p["ins_out"]["w"] * s, "b": p["ins_out"]["b"] * s}
+        return p
+
+    params = {"coarse": sharpen(init_field_params(kc, cfg, scheme="torch")),
+              "fine": sharpen(init_field_params(kf, cfg, scheme="torch"))}
+    sel = scene.i_test
+    H, W, K = scene.hwk
+
+    # ---- reference side (cwd provides ./data/color_dict.json)
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "data").mkdir()
+    cd = {str(l): int(l) for l in range(scene.ins_num)}
+    with open(tmp_path / "data" / "color_dict.json", "w") as f:
+        _json.dump({"dmsr": {"synthetic": cd}}, f)
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+
+    pe, _ = ref.dm.get_embedder(cfg.multires)
+    ve, _ = ref.dm.get_embedder(cfg.multires_views)
+    model_c = torch_model_from_params(ref, params["coarse"], cfg)
+    model_f = torch_model_from_params(ref, params["fine"], cfg)
+    r_args = types.SimpleNamespace(
+        datadir="./data/dmsr/synthetic", device="cpu", ins_num=scene.ins_num,
+        N_test=100, near=1.0, far=12.0, N_samples=8, N_importance=8,
+        perturb=0.0, is_train=False, N_ins=None,
+        crop_height=None, crop_width=None)
+    with torch.no_grad():
+        r_test.render_test(pe, ve, model_c, model_f,
+                           np.asarray(scene.poses[sel]),
+                           (H, W, torch.from_numpy(np.asarray(K)).float()),
+                           r_args,
+                           gt_imgs=torch.from_numpy(scene.images[sel]).float(),
+                           gt_labels=torch.from_numpy(
+                               scene.gt_labels[sel].astype(np.int64)),
+                           ins_rgbs=scene.ins_rgbs, savedir=str(ref_dir))
+
+    # ---- our side
+    args = default_config(N_test=100, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=cfg.netdepth, netwidth=cfg.netwidth,
+                          multires=4, multires_views=2)
+    args.ins_num = scene.ins_num
+    render_im = make_image_renderer(cfg, args, H, W, fused=False)
+    our_render_test(render_im, params, scene.poses[sel], scene.hwk, args,
+                    gt_imgs=scene.images[sel], gt_labels=scene.gt_labels[sel],
+                    ins_rgbs=scene.ins_rgbs, savedir=str(our_dir))
+
+    # ---- artifacts
+    t_ref = np.loadtxt(ref_dir / "test_results.txt")
+    t_our = np.loadtxt(our_dir / "test_results.txt")
+    assert t_ref.shape == t_our.shape == (3, 9)
+    np.testing.assert_allclose(t_our[:, :2], t_ref[:, :2], atol=2e-3)
+    np.testing.assert_array_equal(t_our[:, 3:], t_ref[:, 3:])  # APs exact
+
+    with open(ref_dir / "matching_log.json") as f:
+        m_ref = _json.load(f)
+    with open(our_dir / "matching_log.json") as f:
+        m_our = _json.load(f)
+    assert m_our == m_ref
+
+    import imageio.v2 as iio
+    for i in range(len(sel)):
+        rgb_r = iio.imread(ref_dir / f"{i:03d}.png").astype(np.int16)
+        rgb_o = iio.imread(our_dir / f"{i:03d}.png").astype(np.int16)
+        assert np.abs(rgb_r - rgb_o).max() <= 1  # to8b rounding on f32 noise
+        # cv2-written artifacts are BGR on disk; ours mean RGB
+        ins_r = iio.imread(ref_dir / f"instance_{i:03d}.png")
+        ins_o = iio.imread(our_dir / f"instance_{i:03d}.png")
+        np.testing.assert_array_equal(ins_o, ins_r[..., ::-1])
+        gt_r = iio.imread(ref_dir / f"{i}_ins_gt.png")
+        gt_o = iio.imread(our_dir / f"{i}_ins_gt.png")
+        np.testing.assert_array_equal(gt_o, gt_r[..., ::-1])
+        np.testing.assert_array_equal(
+            iio.imread(our_dir / f"{i}_ins_gt_mask.png"),
+            iio.imread(ref_dir / f"{i}_ins_gt_mask.png"))
