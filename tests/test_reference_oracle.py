@@ -28,7 +28,8 @@ Surfaces covered (verdict r2 item 1):
      objects, copied weights, det-pinned sample_pdf; f32 tol 2e-4
  15. FULL render_test entry (tester.py:17-162) — chunked render, metrics,
      ins_eval, matching_log.json, test_results.txt, pngs; AP columns and all
-     instance/gt artifacts EXACT, rgb within 1 uint8 LSB
+     instance/gt artifacts EXACT, rgb within 1 uint8 LSB; both the full-image
+     and the ScanNet crop+masked-eval flavors
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -892,7 +893,8 @@ def test_manipulator_pipeline_matches_reference(ref, monkeypatch):
 
 # ------------------------------------------- 15. full render_test pipeline
 
-def test_render_test_full_pipeline(ref, tmp_path, monkeypatch):
+@pytest.mark.parametrize("crop", [False, True])
+def test_render_test_full_pipeline(ref, tmp_path, monkeypatch, crop):
     """A/B the reference's ENTIRE test-rendering entry (tester.py:17-162) —
     chunked full-image render, per-view metrics, ins_eval + matching map,
     png/json/txt artifacts — against eval/tester.py with copied weights.
@@ -939,7 +941,16 @@ def test_render_test_full_pipeline(ref, tmp_path, monkeypatch):
 
     import networks.tester as r_test
 
-    scene = make_scene(H=16, W=16, n_train=1, n_test=2)
+    if crop:
+        # ScanNet flavor: label 0 -> unlabeled (=ins_num), 12x12 center crop;
+        # exercises tester.py:25-40 (gt cropping), :78-82 (render crop) and
+        # the masked unique[:-1] ins_eval branch (:99-107)
+        from dmnerf_tpu.data.synthetic import make_scene_crop
+        scene = make_scene_crop(H=16, W=16, n_train=1, n_test=2)
+        ch = cw = 12
+    else:
+        scene = make_scene(H=16, W=16, n_train=1, n_test=2)
+        ch = cw = None
     cfg = small_cfg(jnp.float32, w=64, ins_num=scene.ins_num,
                     multires=4, multires_views=2)
     kc, kf = jax.random.split(jax.random.PRNGKey(11))
@@ -973,7 +984,8 @@ def test_render_test_full_pipeline(ref, tmp_path, monkeypatch):
         datadir="./data/dmsr/synthetic", device="cpu", ins_num=scene.ins_num,
         N_test=100, near=1.0, far=12.0, N_samples=8, N_importance=8,
         perturb=0.0, is_train=False, N_ins=None,
-        crop_height=None, crop_width=None)
+        crop_height=ch, crop_width=cw)
+    cm_t = torch.from_numpy(np.asarray(scene.crop_mask)) if crop else None
     with torch.no_grad():
         r_test.render_test(pe, ve, model_c, model_f,
                            np.asarray(scene.poses[sel]),
@@ -982,7 +994,8 @@ def test_render_test_full_pipeline(ref, tmp_path, monkeypatch):
                            gt_imgs=torch.from_numpy(scene.images[sel]).float(),
                            gt_labels=torch.from_numpy(
                                scene.gt_labels[sel].astype(np.int64)),
-                           ins_rgbs=scene.ins_rgbs, savedir=str(ref_dir))
+                           ins_rgbs=scene.ins_rgbs, savedir=str(ref_dir),
+                           crop_mask=cm_t)
 
     # ---- our side
     args = default_config(N_test=100, N_samples=8, N_importance=8,
@@ -990,10 +1003,12 @@ def test_render_test_full_pipeline(ref, tmp_path, monkeypatch):
                           netdepth=cfg.netdepth, netwidth=cfg.netwidth,
                           multires=4, multires_views=2)
     args.ins_num = scene.ins_num
+    args.crop_height, args.crop_width = ch, cw
     render_im = make_image_renderer(cfg, args, H, W, fused=False)
     our_render_test(render_im, params, scene.poses[sel], scene.hwk, args,
                     gt_imgs=scene.images[sel], gt_labels=scene.gt_labels[sel],
-                    ins_rgbs=scene.ins_rgbs, savedir=str(our_dir))
+                    ins_rgbs=scene.ins_rgbs, savedir=str(our_dir),
+                    crop_mask=scene.crop_mask if crop else None)
 
     # ---- artifacts
     t_ref = np.loadtxt(ref_dir / "test_results.txt")
