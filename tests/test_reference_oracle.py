@@ -30,6 +30,9 @@ Surfaces covered (verdict r2 item 1):
      ins_eval, matching_log.json, test_results.txt, pngs; AP columns and all
      instance/gt artifacts EXACT, rgb within 1 uint8 LSB; both the full-image
      and the ScanNet crop+masked-eval flavors
+ 16. FULL manipulator_eval entry (manipulator.py:208-364) — per-view
+     whole-image edit, metrics vs GT renders, ins_eval, matching log, table
+     and png artifacts; same exactness bars as surface 15
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -1038,3 +1041,129 @@ def test_render_test_full_pipeline(ref, tmp_path, monkeypatch, crop):
         np.testing.assert_array_equal(
             iio.imread(our_dir / f"{i}_ins_gt_mask.png"),
             iio.imread(ref_dir / f"{i}_ins_gt_mask.png"))
+
+
+# -------------------------------------- 16. full manipulator_eval pipeline
+
+def test_manipulator_eval_full_pipeline(ref, tmp_path, monkeypatch):
+    """A/B the reference's ENTIRE manipulation-eval entry (manipulator.py:
+    208-364) — per-view two-pass whole-image edit, PSNR/SSIM vs GT renders,
+    ins_eval on the edited instance map, matching_log.json + test_results.txt
+    + png artifacts — against edit/runner.py::manipulator_eval with copied
+    weights. Same stubbing scheme as the render_test A/B (surface 15); the
+    reference's stochastic sample_pdf is det-pinned as in surface 14. The
+    scene's own test images serve as the 'GT manipulated renders' — the
+    pipeline comparison is invariant to what the GT actually depicts."""
+    import json as _json
+
+    import dmnerf_tpu.eval.metrics as our_metrics
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.edit.runner import manipulator_eval as our_mani_eval
+    from dmnerf_tpu.models.fields import init_field_params
+
+    sk = sys.modules.get("skimage.metrics")
+    if sk is not None and not hasattr(sk, "peak_signal_noise_ratio"):
+        sk.peak_signal_noise_ratio = \
+            lambda img, gt, data_range=1: our_metrics.psnr(img, gt, data_range)
+        sk.structural_similarity = \
+            lambda img, gt, multichannel=True, data_range=1: \
+                our_metrics.ssim(img, gt, data_range)
+    lp = sys.modules.get("lpips")
+    if lp is not None and not hasattr(lp, "LPIPS"):
+        class _FakeLPIPS:
+            def __init__(self, net="vgg"):
+                pass
+
+            def to(self, device):
+                return self
+
+            def __call__(self, a, b):
+                return torch.tensor(0.0)
+        lp.LPIPS = _FakeLPIPS
+
+    monkeypatch.setattr(ref.mani, "sample_pdf",
+                        lambda b, w, s: ref.hp.sample_pdf(b, w, s, det=True))
+
+    scene = make_scene(H=16, W=16, n_train=1, n_test=2)
+    cfg = small_cfg(jnp.float32, w=64, ins_num=scene.ins_num,
+                    multires=4, multires_views=2)
+    kc, kf = jax.random.split(jax.random.PRNGKey(13))
+
+    def sharpen(p, s=20.0):
+        p = dict(p)
+        p["ins_out"] = {"w": p["ins_out"]["w"] * s, "b": p["ins_out"]["b"] * s}
+        return p
+
+    params = {"coarse": sharpen(init_field_params(kc, cfg, scheme="torch")),
+              "fine": sharpen(init_field_params(kf, cfg, scheme="torch"))}
+    sel = scene.i_test
+    H, W, K = scene.hwk
+
+    trans = np.eye(4)
+    trans[:3, 3] = [0.4, -0.2, 0.1]
+    trans_dicts = {"transformations": [
+        {"transformation": trans.tolist(), "mode": "translation"}]}
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "data").mkdir()
+    cd = {str(l): int(l) for l in range(scene.ins_num)}
+    with open(tmp_path / "data" / "color_dict.json", "w") as f:
+        _json.dump({"dmsr": {"synthetic": cd}}, f)
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+
+    pe, _ = ref.dm.get_embedder(cfg.multires)
+    ve, _ = ref.dm.get_embedder(cfg.multires_views)
+    model_c = torch_model_from_params(ref, params["coarse"], cfg)
+    model_f = torch_model_from_params(ref, params["fine"], cfg)
+    r_args = types.SimpleNamespace(
+        datadir="./data/dmsr/synthetic", device="cpu", ins_num=scene.ins_num,
+        N_test=100, near=1.0, far=12.0, N_samples=8, N_importance=8,
+        target_label=1)
+    with torch.no_grad():
+        ref.mani.manipulator_eval(
+            pe, ve, model_c, model_f, np.asarray(scene.poses[sel]),
+            (H, W, torch.from_numpy(np.asarray(K)).float()),
+            trans_dicts, str(ref_dir), scene.ins_rgbs, r_args,
+            gt_rgbs=torch.from_numpy(scene.images[sel]).float(),
+            gt_labels=torch.from_numpy(scene.gt_labels[sel].astype(np.int64)))
+
+    args = default_config(N_test=100, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=cfg.netdepth, netwidth=cfg.netwidth,
+                          multires=4, multires_views=2)
+    args.ins_num = scene.ins_num
+    args.target_label = 1
+    our_mani_eval(cfg, params, scene.poses[sel], scene.hwk, trans_dicts,
+                  str(our_dir), scene.ins_rgbs, args,
+                  gt_rgbs=scene.images[sel], gt_labels=scene.gt_labels[sel])
+
+    t_ref = np.loadtxt(ref_dir / "translation" / "test_results.txt")
+    t_our = np.loadtxt(our_dir / "translation" / "test_results.txt")
+    assert t_ref.shape == t_our.shape == (3, 9)
+    np.testing.assert_allclose(t_our[:, :2], t_ref[:, :2], atol=2e-3)
+    np.testing.assert_array_equal(t_our[:, 3:], t_ref[:, 3:])  # APs exact
+
+    with open(ref_dir / "translation" / "matching_log.json") as f:
+        m_ref = _json.load(f)
+    with open(our_dir / "translation" / "matching_log.json") as f:
+        m_our = _json.load(f)
+    assert m_our == m_ref
+
+    import imageio.v2 as iio
+    for i in range(len(sel)):
+        rgb_r = iio.imread(ref_dir / "translation" / f"{i}_rgb.png").astype(np.int16)
+        rgb_o = iio.imread(our_dir / "translation" / f"{i}_rgb.png").astype(np.int16)
+        assert np.abs(rgb_r - rgb_o).max() <= 1
+        ins_r = iio.imread(ref_dir / "translation" / f"{i}_ins.png")
+        ins_o = iio.imread(our_dir / "translation" / f"{i}_ins.png")
+        np.testing.assert_array_equal(ins_o, ins_r[..., ::-1])
+        gt_r = iio.imread(ref_dir / "translation" / f"{i}_ins_gt.png")
+        gt_o = iio.imread(our_dir / "translation" / f"{i}_ins_gt.png")
+        np.testing.assert_array_equal(gt_o, gt_r[..., ::-1])
+        np.testing.assert_array_equal(
+            iio.imread(our_dir / "translation" / f"{i}_rgb_gt.png"),
+            iio.imread(ref_dir / "translation" / f"{i}_rgb_gt.png"))
