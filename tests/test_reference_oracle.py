@@ -33,6 +33,9 @@ Surfaces covered (verdict r2 item 1):
  16. FULL manipulator_eval entry (manipulator.py:208-364) — per-view
      whole-image edit, metrics vs GT renders, ins_eval, matching log, table
      and png artifacts; same exactness bars as surface 15
+ 17. FULL manipulator_demo entry (manipulator.py:367-491) — 2-object rigid
+     and 2-object deform (sin+ln) flavors, artifact-exact (the reference
+     cannot mix flavors: stack shape clash at manipulator.py:438)
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -1167,3 +1170,112 @@ def test_manipulator_eval_full_pipeline(ref, tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             iio.imread(our_dir / "translation" / f"{i}_rgb_gt.png"),
             iio.imread(ref_dir / "translation" / f"{i}_rgb_gt.png"))
+
+
+# -------------------------------------- 17. full manipulator_demo pipeline
+
+@pytest.mark.parametrize("mode", ["rigid", "deform"])
+def test_manipulator_demo_full_pipeline(ref, tmp_path, monkeypatch, mode):
+    """A/B the reference's ENTIRE multi-object demo entry (manipulator.py:
+    367-491) — per-view 2-object edit, rigid flavor (per-view transformation
+    sequences) and deform flavor (sin + ln per-pixel-row ray shifts; sin is
+    scaled by the hardcoded deform_v oscillation — view 0 exercises the
+    deform_v[0] == 0 degenerate shift, view 1 the 0.18 peak). Artifacts
+    ({i}_rgb.png, {i}_ins.png BGR-reversed, {i}_ins_pred_mask.png) compared
+    pixel-exact (rgb within one uint8 LSB).
+
+    The flavors are separate runs because the reference CANNOT mix them: its
+    rigid tar rays are [H,W,3] while deform tar rays are pre-flattened
+    [H*W,3], so torch.stack at manipulator.py:438 raises on any mixed objs
+    list (none of its shipped demo configs mix). Our manipulator_demo handles
+    mixed rigid+deform objs (tests/test_edit_runner.py) — documented
+    deviation, PARITY.md."""
+    import json as _json
+
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.edit.runner import manipulator_demo as our_mani_demo
+    from dmnerf_tpu.models.fields import init_field_params
+
+    monkeypatch.setattr(ref.mani, "sample_pdf",
+                        lambda b, w, s: ref.hp.sample_pdf(b, w, s, det=True))
+
+    scene = make_scene(H=16, W=16, n_train=1, n_test=2)
+    cfg = small_cfg(jnp.float32, w=64, ins_num=scene.ins_num,
+                    multires=4, multires_views=2)
+    kc, kf = jax.random.split(jax.random.PRNGKey(17))
+
+    def sharpen(p, s=20.0):
+        p = dict(p)
+        p["ins_out"] = {"w": p["ins_out"]["w"] * s, "b": p["ins_out"]["b"] * s}
+        return p
+
+    params = {"coarse": sharpen(init_field_params(kc, cfg, scheme="torch")),
+              "fine": sharpen(init_field_params(kf, cfg, scheme="torch"))}
+    H, W, K = scene.hwk
+    view_poses = np.asarray(scene.poses[scene.i_test])
+
+    if mode == "rigid":
+        t0 = np.eye(4); t0[:3, 3] = [0.3, 0.0, 0.0]
+        t1 = np.eye(4); t1[:3, 3] = [0.6, -0.1, 0.0]
+        s0 = np.eye(4); s0[:3, 3] = [0.0, 0.2, 0.0]
+        s1 = np.eye(4); s1[:3, 3] = [0.0, 0.4, 0.1]
+        objs_trans = {"chair": [{"transformation": t0.tolist()},
+                                {"transformation": t1.tolist()}],
+                      "table": [{"transformation": s0.tolist()},
+                                {"transformation": s1.tolist()}]}
+        objs = [{"obj_name": "chair", "tar_id": 1, "mani_mode": "rigid"},
+                {"obj_name": "table", "tar_id": 2, "mani_mode": "rigid"}]
+    else:
+        objs_trans = {}
+        objs = [{"obj_name": "wave", "tar_id": 1, "mani_mode": "deform",
+                 "deform_func": "sin"},
+                {"obj_name": "bend", "tar_id": 2, "mani_mode": "deform",
+                 "deform_func": "ln"}]
+    ins_map = {"1": 1, "2": 2}
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "data").mkdir()
+    cd = {str(l): int(l) for l in range(scene.ins_num)}
+    with open(tmp_path / "data" / "color_dict.json", "w") as f:
+        _json.dump({"dmsr": {"synthetic": cd}}, f)
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+
+    pe, _ = ref.dm.get_embedder(cfg.multires)
+    ve, _ = ref.dm.get_embedder(cfg.multires_views)
+    model_c = torch_model_from_params(ref, params["coarse"], cfg)
+    model_f = torch_model_from_params(ref, params["fine"], cfg)
+    r_args = types.SimpleNamespace(
+        datadir="./data/dmsr/synthetic", device="cpu", ins_num=scene.ins_num,
+        N_test=100, near=1.0, far=12.0, N_samples=8, N_importance=8,
+        mani_type="demo")
+    with torch.no_grad():
+        ref.mani.manipulator_demo(
+            pe, ve, model_c, model_f, view_poses,
+            (H, W, torch.from_numpy(np.asarray(K)).float()),
+            objs_trans, str(ref_dir), scene.ins_rgbs, objs, view_poses,
+            ins_map, r_args)
+
+    args = default_config(N_test=100, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=cfg.netdepth, netwidth=cfg.netwidth,
+                          multires=4, multires_views=2)
+    args.ins_num = scene.ins_num
+    args.mani_type = "demo"
+    our_mani_demo(cfg, params, scene.hwk, objs_trans, str(our_dir),
+                  scene.ins_rgbs, objs, view_poses, ins_map, args)
+
+    import imageio.v2 as iio
+    for i in range(len(view_poses)):
+        rgb_r = iio.imread(ref_dir / "demo" / f"{i}_rgb.png").astype(np.int16)
+        rgb_o = iio.imread(our_dir / "demo" / f"{i}_rgb.png").astype(np.int16)
+        assert np.abs(rgb_r - rgb_o).max() <= 1
+        ins_r = iio.imread(ref_dir / "demo" / f"{i}_ins.png")
+        ins_o = iio.imread(our_dir / "demo" / f"{i}_ins.png")
+        np.testing.assert_array_equal(ins_o, ins_r[..., ::-1])
+        np.testing.assert_array_equal(
+            iio.imread(our_dir / "demo" / f"{i}_ins_pred_mask.png"),
+            iio.imread(ref_dir / "demo" / f"{i}_ins_pred_mask.png"))
