@@ -39,6 +39,11 @@ Surfaces covered (verdict r2 item 1):
  18. optimizer chain (train_dmsr.py:125,:66-73) — Adam mechanics f64 tol
      1e-12 over a 10-step grad sequence, the exp-decay law, and the combined
      trajectory incl. the reference's one-step LR lag (documented)
+ 19. mesh_main's NN-query stages (mesh_generator.py:12-143) — grid builder
+     (tools/visualizer.py:111-155), zero-viewdir density->occupancy, and the
+     fixed-z vertex-coloring ray march; labels exact (the trimesh/skimage/
+     open3d isosurface geometry itself cannot run here — ours is validated
+     on analytic surfaces in test_mesh.py)
 
 [a] render.py:38 hard-casts viewdirs with .float(), so the full pipeline can
     only be A/B'd in f32; tolerances there absorb fp32 noise across the 8-deep
@@ -1369,3 +1374,115 @@ def test_optimizer_chain_matches_reference(ref):
 
     # the lag's worst-case relative lr offset at the shipped decay constants
     assert abs(1.0 - 0.1 ** (1 / 500_000.0)) < 5e-6
+
+
+# ------------------------------------ 19. mesh_main's NN-query stages
+
+def test_mesh_query_stages_match_reference(ref):
+    """A/B the mesh generator's A/B-able stages (mesh_generator.py:12-143).
+    mesh_main itself cannot run here (trimesh/skimage/open3d do its actual
+    isosurface geometry and are absent — our own marching cubes/cleanup are
+    validated on analytic surfaces in test_mesh.py), but its NN-query stages
+    and the grid builder are the reference's own code:
+
+      (a) grid_within_bound / make_3D_grid (tools/visualizer.py:111-155) with
+          a fabricated oriented-bounds transform — grid points + scene scale;
+      (b) the chunked density query with ZERO viewdirs + occupancy transform
+          occ = 1-exp(-relu(sigma) * (far-near)/N_importance)
+          (mesh_generator.py:36-66) on the axis-swapped grid;
+      (c) the vertex-coloring ray march (mesh_generator.py:105-137): rays
+          from fabricated vertices/normals (the reference's axis swaps and
+          -0.03*near offset applied identically), full dm_nerf with the FIXED
+          near=0.01/far=15 z law, per-vertex argmax labels — exact equality
+          with a sharpened ins head."""
+    from dmnerf_tpu.mesh.extract import make_density_fn, make_label_fn
+    from dmnerf_tpu.mesh.grid import grid_within_bound
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.models.fields import init_field_params
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_visualizer", REF + "/tools/visualizer.py")
+    rv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rv)
+
+    rng = np.random.default_rng(29)
+
+    # ---- (a) grid builder with a fabricated scene transform
+    th = 0.37
+    T = np.eye(4)
+    T[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                          [np.sin(th), np.cos(th), 0],
+                          [0, 0, 1.0]])
+    T[:3, 3] = [0.3, -1.2, 0.8]
+    extents = np.array([1.9, 7.0, 7.0])
+    dim = 8
+    g_ref, s_ref = rv.grid_within_bound([-1.0, 1.0], extents, T, grid_dim=dim)
+    g_our, s_our = grid_within_bound([-1.0, 1.0], extents, T, dim)
+    np.testing.assert_allclose(g_our, g_ref.view(-1, 3).numpy(), atol=1e-5)
+    np.testing.assert_allclose(s_our, s_ref.numpy(), atol=1e-6)
+
+    # ---- shared model
+    cfg = small_cfg(jnp.float32, w=64, ins_num=6, multires=4, multires_views=2)
+    kc, kf = jax.random.split(jax.random.PRNGKey(19))
+
+    def sharpen(p, s=20.0):
+        p = dict(p)
+        p["ins_out"] = {"w": p["ins_out"]["w"] * s, "b": p["ins_out"]["b"] * s}
+        return p
+
+    params = {"coarse": sharpen(init_field_params(kc, cfg, scheme="torch")),
+              "fine": sharpen(init_field_params(kf, cfg, scheme="torch"))}
+    pe, _ = ref.dm.get_embedder(cfg.multires)
+    ve, _ = ref.dm.get_embedder(cfg.multires_views)
+    model_c = torch_model_from_params(ref, params["coarse"], cfg)
+    model_f = torch_model_from_params(ref, params["fine"], cfg)
+
+    # ---- (b) density -> occupancy on the axis-swapped grid
+    q = np.asarray(g_ref.view(-1, 3).numpy())[:, [0, 2, 1]].copy()
+    q[:, 1] *= -1
+    near, far, n_imp = 1.0, 12.0, 8
+    with torch.no_grad():
+        pts_t = torch.from_numpy(q.astype(np.float32))
+        emb = torch.cat([pe.embed(pts_t), ve.embed(torch.zeros_like(pts_t))], -1)
+        raw_ref = model_f(emb)
+        voxel = (far - near) / n_imp
+        occ_ref = (1.0 - torch.exp(-torch.relu(raw_ref[..., 3]) * voxel)).numpy()
+    density = make_density_fn(cfg, chunk=64)(params["fine"], q.astype(np.float32))
+    occ_our = 1.0 - np.exp(-np.maximum(density, 0.0) * voxel)
+    np.testing.assert_allclose(occ_our, occ_ref, atol=2e-5)
+
+    # ---- (c) vertex-coloring labels
+    n_v = 50
+    verts = rng.uniform(-2, 2, (n_v, 3)).astype(np.float32)
+    normals = rng.normal(size=(n_v, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+
+    # reference's swaps + offset (mesh_generator.py:106-118)
+    rd = -normals[:, [0, 2, 1]].copy()
+    rd[:, 1] *= -1
+    v_sw = verts[:, [0, 2, 1]].copy()
+    v_sw[:, 1] *= -1
+    ro = v_sw - rd * 0.03 * near
+
+    r_args = types.SimpleNamespace(N_samples=8, N_importance=n_imp,
+                                   perturb=0.0, is_train=False, N_ins=None)
+    chunk = 32
+    full_ins = None
+    with torch.no_grad():
+        for step in range(0, n_v, chunk):
+            n_c = min(chunk, n_v - step)
+            z = ref.hp.z_val_sample(n_c, 0.01, 15, 8)
+            batch = torch.stack([torch.from_numpy(ro[step:step + n_c]),
+                                 torch.from_numpy(rd[step:step + n_c])], 0)
+            info = ref.render.dm_nerf(batch, pe, ve, model_c, model_f, z, r_args)
+            ins = info["ins_fine"]
+            full_ins = ins if full_ins is None else torch.cat([full_ins, ins], 0)
+    labels_ref = torch.argmax(full_ins, -1).numpy()
+
+    args = default_config(N_samples=8, N_importance=n_imp, near=near, far=far,
+                          precision="f32", netdepth=cfg.netdepth,
+                          netwidth=cfg.netwidth, multires=4, multires_views=2)
+    args.use_pallas = False
+    labels_our = make_label_fn(cfg, args, chunk=32, use_fused=False)(
+        params, ro, rd)
+    np.testing.assert_array_equal(labels_our, labels_ref)
