@@ -124,6 +124,42 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
     render_rps_packed = scene.H * scene.W * len(poses_rep) / rdt_p / n_chips
     args.d2h_pack = False
 
+    # ---- edit path (L7 whole-image manipulation, 1 object, pipelined like
+    # the runners: dispatch image i+1 before fetching image i). Guarded so an
+    # edit-path failure cannot cost the train/render numbers.
+    edit_ms = None
+    try:
+        from dmnerf_tpu.edit.manipulator import edit_chunk, make_image_manipulator
+        from dmnerf_tpu.edit.runner import (_dispatch_edit_image,
+                                            _fetch_edit_image, _full_rays)
+        chunk = edit_chunk(args)
+        n_rays = scene.H * scene.W + ((-scene.H * scene.W) % chunk)
+        run_edit = make_image_manipulator(cfg, state.params, args, n_obj=1,
+                                          move_labels=[1], n_rays=n_rays,
+                                          use_pallas=args.use_pallas)
+        trans = np.eye(4, dtype=np.float64)
+        trans[:3, 3] = [0.3, 0.0, 0.0]
+
+        def edit_dispatch(pose):
+            ori_o, ori_d = _full_rays(scene.H, scene.W, K, pose)
+            tar_o, tar_d = _full_rays(scene.H, scene.W, K, trans @ pose)
+            return _dispatch_edit_image(run_edit, ori_o, ori_d,
+                                        tar_o[None], tar_d[None], chunk)
+
+        _fetch_edit_image(edit_dispatch(poses[0]))  # compile + warm
+        t0 = time.perf_counter()
+        pending = None
+        for pose in poses_rep:
+            cur = edit_dispatch(pose)
+            if pending is not None:
+                _fetch_edit_image(pending)
+            pending = cur
+        _fetch_edit_image(pending)
+        edit_ms = (time.perf_counter() - t0) / len(poses_rep) * 1e3
+    except Exception as e:  # pragma: no cover - diagnostic guard
+        import sys as _sys
+        print(f"bench: edit path failed: {e!r}", file=_sys.stderr)
+
     # ---- 8-chip projection (BASELINE.md names a v5p-8; this box has 1 chip).
     # DM-NeRF trains ray-parallel: per step the only cross-chip traffic is the
     # fp32 gradient psum over both fields + O(K^2) instance-loss stats. Ring
@@ -149,6 +185,7 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
         "mfu_vs_bf16_peak": round(mfu, 3),
         "render_rays_per_sec_per_chip": round(render_rps, 1),
         "render_rays_per_sec_packed_d2h": round(render_rps_packed, 1),
+        "edit_ms_per_image": round(edit_ms, 1) if edit_ms is not None else None,
         "pallas_train": bool(pallas_train),
         "scan_steps_per_dispatch": scan_steps,
         "proj_8chip_grad_psum_mb": round(psum_mb, 2),
