@@ -91,6 +91,15 @@ def _linear_init(key: jax.Array, fan_in: int, fan_out: int, scheme: str = "he"):
 
 def init_field_params(key: jax.Array, cfg: FieldConfig, scheme: str = "he") -> Params:
     D, W = cfg.netdepth, cfg.netwidth
+    # skip == D-1 would concat pos features AFTER the last trunk layer, feeding
+    # the heads W+pos_ch where they expect W (the reference's DM_NeRF breaks
+    # identically). skip >= D simply never fires (tiny test configs rely on
+    # the default skip=4 being out of range at netdepth=2).
+    if cfg.skip == D - 1:
+        raise ValueError(
+            f"skip ({cfg.skip}) == netdepth-1: the skip concat would land "
+            f"after the final trunk layer; use skip < netdepth-1 (or >= "
+            f"netdepth to disable)")
     pos_ch, view_ch = cfg.pos_ch, cfg.view_ch
     keys = iter(jax.random.split(key, D + 8))
     trunk = []

@@ -97,3 +97,21 @@ def test_init_statistics():
     bound = 1.0 / np.sqrt(256)
     assert wt.min() >= -bound and wt.max() <= bound
     assert abs(wt.std() - bound / np.sqrt(3)) < 0.05 * bound
+
+
+def test_init_rejects_skip_at_last_layer():
+    """skip == netdepth-1 would concat pos features after the final trunk
+    layer, feeding the heads W+pos_ch where they expect W — fail fast instead
+    of a shape error deep inside a jit trace."""
+    import pytest
+
+    from dmnerf_tpu.models.fields import FieldConfig, init_field_params
+
+    cfg = FieldConfig(netdepth=2, netwidth=32, multires=4, multires_views=2,
+                      skip=1, ins_num=4)
+    with pytest.raises(ValueError, match="skip"):
+        init_field_params(jax.random.PRNGKey(0), cfg)
+    # out-of-range skip is the documented no-skip convention for tiny configs
+    init_field_params(jax.random.PRNGKey(0),
+                      FieldConfig(netdepth=2, netwidth=32, multires=4,
+                                  multires_views=2, skip=4, ins_num=4))
