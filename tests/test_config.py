@@ -144,3 +144,41 @@ def test_parse_every_shipped_reference_config():
             assert cfg.target_label is not None, p
         if os.path.basename(p) == "meshing.txt":
             assert cfg.mesh is True, p
+
+
+def test_mirrored_configs_parse_identical_to_reference():
+    """Our configs/ rewrites of the reference's 57 shipped files must parse to
+    the SAME values, modulo keys that point at the reference's own trained
+    checkpoints (log_time, test_model — ours resolve checkpoints by step), the
+    config path itself, and two UPSTREAM config bugs where ours carries the
+    intended value (PARITY.md):
+      - replica/train/room_1.txt: the reference file's first line is
+        '1expname = room_1' (typo), so its expname silently falls back to the
+        parser default 'office_0' — room_1 training would write into
+        office_0's log dir; ours says room_1.
+      - dmsr/mani/bathroom.txt: the reference file uses STALE flag names
+        (editor_val/editor_mode/over_penalize) that no longer exist in its
+        own config.py, so mani_eval/penalize are silently False and mani_mode
+        falls back to the default; ours states mani_eval/penalize/mani_mode=
+        multi under the current names."""
+    import glob
+
+    import pytest
+
+    ref_cfgs = sorted(glob.glob("/root/reference/configs/**/*.txt",
+                                recursive=True))
+    if not ref_cfgs:
+        pytest.skip("reference configs not present")
+    skip_keys = {"config", "log_time", "test_model"}
+    upstream_bugs = {
+        "replica/train/room_1.txt": {"expname"},
+        "dmsr/mani/bathroom.txt": {"mani_eval", "mani_mode", "penalize"},
+    }
+    for rp in ref_cfgs:
+        rel = rp.split("/configs/")[1]
+        op = rp.replace("/root/reference/configs/", "configs/")
+        a = vars(parse_args(["--config", rp]))
+        b = vars(parse_args(["--config", op]))
+        skip = skip_keys | upstream_bugs.get(rel, set())
+        diff = {k for k in a if k not in skip and a[k] != b[k]}
+        assert not diff, (rp, {k: (a[k], b[k]) for k in diff})
