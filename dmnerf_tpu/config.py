@@ -178,6 +178,17 @@ def parse_args(argv: Optional[List[str]] = None) -> Config:
     file_vals: Dict[str, str] = {}
     if ns.config:
         file_vals = _parse_config_file(ns.config)
+        # warn-but-continue on unknown config keys (configargparse-compatible
+        # tolerance) — silently dropping them hides real bugs: the reference
+        # ships a '1expname' typo (replica room_1 silently trains under the
+        # default expname) and stale editor_*/over_penalize names (bathroom
+        # mani flags silently off). See PARITY.md.
+        known = {s.name for s in FLAG_SPECS}
+        unknown = [k for k in file_vals if k not in known]
+        if unknown:
+            import sys as _sys
+            print(f"config: ignoring unknown keys in {ns.config}: "
+                  f"{', '.join(sorted(unknown))}", file=_sys.stderr)
 
     cfg = Config()
     for spec in FLAG_SPECS:

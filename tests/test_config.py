@@ -182,3 +182,16 @@ def test_mirrored_configs_parse_identical_to_reference():
         skip = skip_keys | upstream_bugs.get(rel, set())
         diff = {k for k in a if k not in skip and a[k] != b[k]}
         assert not diff, (rp, {k: (a[k], b[k]) for k in diff})
+
+
+def test_unknown_config_keys_warn_but_parse(tmp_path, capsys):
+    """Unknown config-file keys are tolerated (configargparse compatibility —
+    the reference ships files with stale/typo'd keys) but warned about on
+    stderr so silent misconfiguration is visible."""
+    p = os.path.join(tmp_path, "c.txt")
+    with open(p, "w") as f:
+        f.write("1expname = room_1\nover_penalize\nN_train = 1024\n")
+    cfg = parse_args(["--config", p])
+    assert cfg.N_train == 1024
+    err = capsys.readouterr().err
+    assert "1expname" in err and "over_penalize" in err
