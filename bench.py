@@ -129,22 +129,22 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
     # edit-path failure cannot cost the train/render numbers.
     edit_ms = None
     try:
-        from dmnerf_tpu.edit.manipulator import edit_chunk, make_image_manipulator
-        from dmnerf_tpu.edit.runner import (_dispatch_edit_image,
-                                            _fetch_edit_image, _full_rays)
-        chunk = edit_chunk(args)
-        n_rays = scene.H * scene.W + ((-scene.H * scene.W) % chunk)
-        run_edit = make_image_manipulator(cfg, state.params, args, n_obj=1,
-                                          move_labels=[1], n_rays=n_rays,
-                                          use_pallas=args.use_pallas)
+        from dmnerf_tpu.edit.manipulator import make_pose_image_manipulator
+        from dmnerf_tpu.edit.runner import _fetch_edit_image
+        run_edit = make_pose_image_manipulator(
+            cfg, state.params, args, objs=[{"mode": "rigid"}],
+            move_labels=[1], H=scene.H, W=scene.W, K=K,
+            use_pallas=args.use_pallas)
         trans = np.eye(4, dtype=np.float64)
         trans[:3, 3] = [0.3, 0.0, 0.0]
+        zero_scales = jnp.zeros((1,), jnp.float32)
 
         def edit_dispatch(pose):
-            ori_o, ori_d = _full_rays(scene.H, scene.W, K, pose)
-            tar_o, tar_d = _full_rays(scene.H, scene.W, K, trans @ pose)
-            return _dispatch_edit_image(run_edit, ori_o, ori_d,
-                                        tar_o[None], tar_d[None], chunk)
+            # the deployed dispatch: poses-only H2D, rays generated in-graph
+            outs = run_edit(jnp.asarray(pose, jnp.float32),
+                            jnp.asarray((trans @ pose)[None], jnp.float32),
+                            zero_scales)
+            return outs, scene.H * scene.W
 
         _fetch_edit_image(edit_dispatch(poses[0]))  # compile + warm
         t0 = time.perf_counter()

@@ -228,28 +228,18 @@ def make_manipulator(cfg, params, args, n_obj: int, move_labels: List[int],
     return run
 
 
-def make_image_manipulator(cfg, params, args, n_obj: int,
-                           move_labels: List[int], n_rays: int,
-                           mesh=None, use_pallas: bool = False):
-    """Whole-image edit in ONE dispatch: lax.map over fixed-size chunks
-    (same dispatch-amortization as eval.renderer.make_batch_renderer).
-    n_rays must be a multiple of edit_chunk(args) (= args.N_test, capped at
-    EDIT_CHUNK when evenly divisible) — callers pad via edit_chunk.
-
-    Returns run_image(ori_o, ori_d, tar_os, tar_ds) ->
-      (rgb [n,3], label_full [n] i32, label_noair [n] i32, conf_noair [n] f32)
-    — the instance map is reduced ON DEVICE: the runners only consume
-    argmax over all K+1 channels (visualization, manipulator.py:330) and
-    argmax/max over the air-dropped channels (AP eval, manipulator.py:294);
-    shipping the full [n, K+1] fp32 maps would be ~17x the D2H bytes over the
-    tunnel."""
+def _make_image_edit_core(cfg, params, args, n_obj: int,
+                          move_labels: List[int], n_rays: int,
+                          mesh=None, use_pallas: bool = False):
+    """Traceable (unjitted) whole-image edit over padded ray arrays — the
+    shared core of make_image_manipulator (host-built rays) and
+    make_pose_image_manipulator (in-graph raygen from poses)."""
     chunk = edit_chunk(args)
     assert n_rays % chunk == 0
     pack = bool(getattr(args, "d2h_pack", False))
     coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
     accum_fn = _fine_accum_fn(cfg, params, use_pallas, mesh)
 
-    @jax.jit
     def run_image(ori_o, ori_d, tar_os, tar_ds):
         def one(c):
             oo, od, tos, tds = c
@@ -286,3 +276,78 @@ def make_image_manipulator(cfg, params, args, n_obj: int,
         return rgb, lab_full, lab, conf
 
     return run_image
+
+
+def make_image_manipulator(cfg, params, args, n_obj: int,
+                           move_labels: List[int], n_rays: int,
+                           mesh=None, use_pallas: bool = False):
+    """Whole-image edit in ONE dispatch: lax.map over fixed-size chunks
+    (same dispatch-amortization as eval.renderer.make_batch_renderer).
+    n_rays must be a multiple of edit_chunk(args) (= args.N_test, capped at
+    EDIT_CHUNK when evenly divisible) — callers pad via edit_chunk.
+
+    Returns run_image(ori_o, ori_d, tar_os, tar_ds) ->
+      (rgb [n,3], label_full [n] i32, label_noair [n] i32, conf_noair [n] f32)
+    — the instance map is reduced ON DEVICE: the runners only consume
+    argmax over all K+1 channels (visualization, manipulator.py:330) and
+    argmax/max over the air-dropped channels (AP eval, manipulator.py:294);
+    shipping the full [n, K+1] fp32 maps would be ~17x the D2H bytes over the
+    tunnel."""
+    return jax.jit(_make_image_edit_core(cfg, params, args, n_obj,
+                                         move_labels, n_rays, mesh=mesh,
+                                         use_pallas=use_pallas))
+
+
+def make_pose_image_manipulator(cfg, params, args, objs, move_labels: List[int],
+                                H: int, W: int, K, mesh=None,
+                                use_pallas: bool = False):
+    """Whole-image edit dispatched FROM POSES: ray generation (and padding)
+    runs in-graph, so each view ships [1+n_obj, 4, 4] poses + [n_obj] deform
+    scales host->device instead of 4 full [H*W, 3] ray arrays (at 640x480
+    that is ~200 B vs ~15 MB per view; the axon tunnel is both
+    latency- and bandwidth-bound on H2D).
+
+    objs: static per-object specs — dicts with 'mode' ('rigid' | 'deform')
+    and, for deform, 'deform_func' (edit/deform.py curves). The target rays of
+    a rigid object come from get_rays(K, tar_pose); a deform object's come
+    from the ori rays with the per-row curve (a compiled-in constant) times
+    the per-view scale added to origin x (reference manipulator.py:397-429).
+
+    Returns run(ori_pose [4,4], tar_poses [n_obj,4,4], dscales [n_obj]) with
+    the same outputs/packing as make_image_manipulator (padded to n_rays;
+    callers crop to H*W)."""
+    n_obj = len(objs)
+    chunk = edit_chunk(args)
+    n = H * W
+    n_pad = (-n) % chunk
+    core = _make_image_edit_core(cfg, params, args, n_obj, move_labels,
+                                 n + n_pad, mesh=mesh, use_pallas=use_pallas)
+    from dmnerf_tpu.core.rays import get_rays
+    from dmnerf_tpu.edit.deform import deform_curve
+
+    K_const = jnp.asarray(K, jnp.float32)
+    curves = [jnp.asarray(deform_curve(o["deform_func"], H, W), jnp.float32)
+              if o["mode"] == "deform" else None for o in objs]
+
+    def _pad(x):
+        return jnp.pad(x, ((0, n_pad), (0, 0)), mode="edge") if n_pad else x
+
+    @jax.jit
+    def run(ori_pose, tar_poses, dscales):
+        ro, rd = get_rays(H, W, K_const, ori_pose.astype(jnp.float32))
+        ro, rd = _pad(ro.reshape(-1, 3)), _pad(rd.reshape(-1, 3))
+        tar_os, tar_ds = [], []
+        for i, obj in enumerate(objs):
+            if obj["mode"] == "deform":
+                off = _pad((curves[i] * dscales[i])[:, None] *
+                           jnp.array([1.0, 0.0, 0.0]))
+                to, td = ro + off, rd
+            else:
+                to, td = get_rays(H, W, K_const,
+                                  tar_poses[i].astype(jnp.float32))
+                to, td = _pad(to.reshape(-1, 3)), _pad(td.reshape(-1, 3))
+            tar_os.append(to)
+            tar_ds.append(td)
+        return core(ro, rd, jnp.stack(tar_os), jnp.stack(tar_ds))
+
+    return run

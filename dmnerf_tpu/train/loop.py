@@ -118,7 +118,9 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
             return every and (done // every) > (prev // every)
 
         if crossed(args.i_print) or done == n_iters:
-            m = {k_: float(v) for k_, v in metrics.items()}
+            # one batched fetch: per-scalar float() pays the tunnel round-trip
+            # latency per metric (~45 ms each on the axon relay)
+            m = {k_: float(v) for k_, v in jax.device_get(metrics).items()}
             dt = time.time() - t_window
             rps = rays_done / dt if dt > 0 else 0.0
             print(f"[TRAIN] Iter: {done} PSNR: {m['psnr_fine']:.4f} "

@@ -198,3 +198,71 @@ def test_image_manipulator_pallas_accum_matches_xla():
                                atol=5e-3, rtol=1e-3)          # rgb
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+
+
+def test_pose_manipulator_matches_ray_manipulator():
+    """make_pose_image_manipulator (in-graph raygen from poses) must equal
+    make_image_manipulator fed the host-built rays, including a mixed
+    rigid + deform object list and the chunk padding."""
+    import numpy as np
+    from dmnerf_tpu.config import default_config
+    from dmnerf_tpu.core.rays import get_rays
+    from dmnerf_tpu.data.synthetic import make_scene
+    from dmnerf_tpu.edit.deform import deform_rays, deform_scale
+    from dmnerf_tpu.edit.manipulator import (make_image_manipulator,
+                                             make_pose_image_manipulator)
+    from dmnerf_tpu.models.fields import FieldConfig
+    from dmnerf_tpu.train.step import create_train_state
+
+    H = W = 6  # H*W = 36: NOT a multiple of the chunk -> padding exercised
+    scene = make_scene(H=H, W=W, n_train=1, n_test=1)
+    args = default_config(N_test=16, N_samples=8, N_importance=8,
+                          near=1.0, far=12.0, precision="f32",
+                          netdepth=2, netwidth=32, multires=4,
+                          multires_views=2)
+    args.ins_num = scene.ins_num
+    cfg = FieldConfig.from_args(args)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    ori_pose = np.asarray(scene.poses[0], np.float64)
+    trans = np.eye(4)
+    trans[:3, 3] = [0.3, -0.1, 0.2]
+    view_idx = 1
+
+    # array path (host-built rays, host padding)
+    ro, rd = get_rays(H, W, jnp.asarray(scene.K, jnp.float32),
+                      jnp.asarray(ori_pose, jnp.float32))
+    ro = np.asarray(ro).reshape(-1, 3)
+    rd = np.asarray(rd).reshape(-1, 3)
+    t0o, t0d = get_rays(H, W, jnp.asarray(scene.K, jnp.float32),
+                        jnp.asarray(trans @ ori_pose, jnp.float32))
+    t0o = np.asarray(t0o).reshape(-1, 3)
+    t0d = np.asarray(t0d).reshape(-1, 3)
+    t1o, t1d = deform_rays(ro, rd, "sin", H, W, view_idx)
+    n = H * W
+    n_pad = (-n) % 16
+    pad = lambda x: np.concatenate([x, np.repeat(x[-1:], n_pad, 0)], 0)
+    run_arr = make_image_manipulator(cfg, state.params, args, 2, [1, 2],
+                                     n + n_pad)
+    ref = run_arr(jnp.asarray(pad(ro)), jnp.asarray(pad(rd)),
+                  jnp.asarray(np.stack([pad(t0o), pad(t1o)])),
+                  jnp.asarray(np.stack([pad(t0d), pad(t1d)])))
+
+    # pose path (in-graph raygen + padding)
+    run_pose = make_pose_image_manipulator(
+        cfg, state.params, args,
+        objs=[{"mode": "rigid"}, {"mode": "deform", "deform_func": "sin"}],
+        move_labels=[1, 2], H=H, W=W, K=scene.K)
+    got = run_pose(jnp.asarray(ori_pose, jnp.float32),
+                   jnp.asarray(np.stack([trans @ ori_pose, ori_pose]),
+                               jnp.float32),
+                   jnp.asarray([0.0, deform_scale("sin", view_idx)],
+                               jnp.float32))
+
+    np.testing.assert_allclose(np.asarray(got[0])[:n], np.asarray(ref[0])[:n],
+                               atol=2e-5, rtol=2e-5)
+    for k in (1, 2):
+        np.testing.assert_array_equal(np.asarray(got[k])[:n],
+                                      np.asarray(ref[k])[:n])
+    np.testing.assert_allclose(np.asarray(got[3])[:n], np.asarray(ref[3])[:n],
+                               atol=2e-5, rtol=2e-5)
