@@ -127,35 +127,44 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
     # ---- edit path (L7 whole-image manipulation, 1 object, pipelined like
     # the runners: dispatch image i+1 before fetching image i). Guarded so an
     # edit-path failure cannot cost the train/render numbers.
-    edit_ms = None
+    edit_ms = edit_ms_640 = None
     try:
         from dmnerf_tpu.edit.manipulator import make_pose_image_manipulator
         from dmnerf_tpu.edit.runner import _fetch_edit_image
-        run_edit = make_pose_image_manipulator(
-            cfg, state.params, args, objs=[{"mode": "rigid"}],
-            move_labels=[1], H=scene.H, W=scene.W, K=K,
-            use_pallas=args.use_pallas)
         trans = np.eye(4, dtype=np.float64)
         trans[:3, 3] = [0.3, 0.0, 0.0]
         zero_scales = jnp.zeros((1,), jnp.float32)
 
-        def edit_dispatch(pose):
-            # the deployed dispatch: poses-only H2D, rays generated in-graph
-            outs = run_edit(jnp.asarray(pose, jnp.float32),
-                            jnp.asarray((trans @ pose)[None], jnp.float32),
-                            zero_scales)
-            return outs, scene.H * scene.W
+        def measure_edit(H, W, Km, bench_poses):
+            run_edit = make_pose_image_manipulator(
+                cfg, state.params, args, objs=[{"mode": "rigid"}],
+                move_labels=[1], H=H, W=W, K=Km,
+                use_pallas=args.use_pallas)
 
-        _fetch_edit_image(edit_dispatch(poses[0]))  # compile + warm
-        t0 = time.perf_counter()
-        pending = None
-        for pose in poses_rep:
-            cur = edit_dispatch(pose)
-            if pending is not None:
-                _fetch_edit_image(pending)
-            pending = cur
-        _fetch_edit_image(pending)
-        edit_ms = (time.perf_counter() - t0) / len(poses_rep) * 1e3
+            def edit_dispatch(pose):
+                # deployed dispatch: poses-only H2D, rays generated in-graph
+                outs = run_edit(jnp.asarray(pose, jnp.float32),
+                                jnp.asarray((trans @ pose)[None], jnp.float32),
+                                zero_scales)
+                return outs, H * W
+
+            _fetch_edit_image(edit_dispatch(bench_poses[0]))  # compile + warm
+            t0 = time.perf_counter()
+            pending = None
+            for pose in bench_poses:
+                cur = edit_dispatch(pose)
+                if pending is not None:
+                    _fetch_edit_image(pending)
+                pending = cur
+            _fetch_edit_image(pending)
+            return (time.perf_counter() - t0) / len(bench_poses) * 1e3
+
+        edit_ms = measure_edit(scene.H, scene.W, K, poses_rep)
+        # reference-resolution edit (DM-SR ships 640x480, loader_dmsr.py:38-45;
+        # intrinsics scaled from the bench scene's — edit cost is K-invariant)
+        K640 = np.array([[640.0, 0, 320.0], [0, 640.0, 240.0], [0, 0, 1.0]],
+                        np.float32)
+        edit_ms_640 = measure_edit(480, 640, K640, poses_rep[:3])
     except Exception as e:  # pragma: no cover - diagnostic guard
         import sys as _sys
         print(f"bench: edit path failed: {e!r}", file=_sys.stderr)
@@ -186,6 +195,8 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
         "render_rays_per_sec_per_chip": round(render_rps, 1),
         "render_rays_per_sec_packed_d2h": round(render_rps_packed, 1),
         "edit_ms_per_image": round(edit_ms, 1) if edit_ms is not None else None,
+        "edit_ms_per_image_640x480": (round(edit_ms_640, 1)
+                                      if edit_ms_640 is not None else None),
         "pallas_train": bool(pallas_train),
         "scan_steps_per_dispatch": scan_steps,
         "proj_8chip_grad_psum_mb": round(psum_mb, 2),

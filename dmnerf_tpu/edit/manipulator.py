@@ -105,37 +105,43 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
     ori_z = z_val_sample(N, near, far, n_samples)
     ori_raw = _field_raw(coarse_fn, ori_o, ori_d, ori_z)
     ori_w = composite(ori_raw, ori_z, ori_d, keep_air=True).weights
-
     ori_mid = 0.5 * (ori_z[..., 1:] + ori_z[..., :-1])
-    ori_zs = sample_pdf(ori_mid, ori_w[..., 1:-1], n_importance, det=True)
-    ori_z_full = jnp.sort(jnp.concatenate([ori_z, ori_zs], -1), -1)
-    if fine_accum_fn is not None:
-        ori_accum = fine_accum_fn(ori_o, ori_d, ori_z_full)
-    else:
-        ori_raw_full = _field_raw(fine_fn, ori_o, ori_d, ori_z_full)
-        ori_accum = composite(ori_raw_full, ori_z_full, ori_d, keep_air=True).ins
 
-    tar_raws, tar_accums, tar_zs_list = [], [], []
-    tar_rgb = tar_ins_accum = None
+    # coarse fields + composites for all targets first, so the (1 + n_obj)
+    # det inverse-CDF samplings batch into ONE sample_pdf call — its [N,S,B]
+    # comparison intermediates are HBM-bound, so fewer/larger calls win
+    # (measured ~0.3 ms/call at [512,128,63]; (1+n)x batching halves it/ray).
+    # tar_z == ori_z (same det linspace, helpers.py:114-119).
+    tar_raws, tar_rgbs = [], []
     for (tar_o, tar_d) in tar_rays:
-        tar_z = z_val_sample(N, near, far, n_samples)
-        tar_raw = _field_raw(coarse_fn, tar_o, tar_d, tar_z)
-        _c = composite(tar_raw, tar_z, tar_d, keep_air=True)
-        t_rgb, t_w = _c.rgb, _c.weights
-
-        tar_mid = 0.5 * (tar_z[..., 1:] + tar_z[..., :-1])
-        tar_zs = sample_pdf(tar_mid, t_w[..., 1:-1], n_importance, det=True)
-        tar_z_full = jnp.sort(jnp.concatenate([tar_z, tar_zs], -1), -1)
-        if fine_accum_fn is not None:
-            t_accum = fine_accum_fn(tar_o, tar_d, tar_z_full)
-        else:
-            tar_raw_full = _field_raw(fine_fn, tar_o, tar_d, tar_z_full)
-            t_accum = composite(tar_raw_full, tar_z_full, tar_d, keep_air=True).ins
-
+        tar_raw = _field_raw(coarse_fn, tar_o, tar_d, ori_z)
+        _c = composite(tar_raw, ori_z, tar_d, keep_air=True)
         tar_raws.append(tar_raw)
+        tar_rgbs.append((_c.rgb, _c.weights))
+
+    w_all = jnp.concatenate([ori_w[..., 1:-1]]
+                            + [tw[..., 1:-1] for _, tw in tar_rgbs], axis=0)
+    mid_all = jnp.broadcast_to(ori_mid[:1], (w_all.shape[0],) + ori_mid.shape[1:])
+    zs_all = sample_pdf(mid_all, w_all, n_importance, det=True)
+    ori_zs = zs_all[:N]
+    tar_zs_list = [zs_all[(i + 1) * N:(i + 2) * N] for i in range(n_obj)]
+
+    def _accum(o, d, z_full):
+        if fine_accum_fn is not None:
+            return fine_accum_fn(o, d, z_full)
+        raw_full = _field_raw(fine_fn, o, d, z_full)
+        return composite(raw_full, z_full, d, keep_air=True).ins
+
+    ori_z_full = jnp.sort(jnp.concatenate([ori_z, ori_zs], -1), -1)
+    ori_accum = _accum(ori_o, ori_d, ori_z_full)
+
+    tar_accums = []
+    tar_rgb = tar_ins_accum = None
+    for i, (tar_o, tar_d) in enumerate(tar_rays):
+        tar_z_full = jnp.sort(jnp.concatenate([ori_z, tar_zs_list[i]], -1), -1)
+        t_accum = _accum(tar_o, tar_d, tar_z_full)
         tar_accums.append(t_accum)
-        tar_zs_list.append(tar_zs)
-        tar_rgb, tar_ins_accum = t_rgb, t_accum
+        tar_rgb, tar_ins_accum = tar_rgbs[i][0], t_accum
 
     # pass 1: exchange coarse raws, re-composite, importance-resample
     ori_raw_x = exchanger(ori_raw, tar_raws, ori_accum, tar_accums, move_labels)
@@ -161,15 +167,17 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
     return rgb, ins, tar_rgb, tar_ins_accum
 
 
-EDIT_CHUNK = 512
+EDIT_CHUNK = 128
 
 
 def edit_chunk(args) -> int:
-    """Ray-chunk size for whole-image edits: N_test capped at 512 when evenly
-    divisible. Measured on v5e (128x128 image, 1 object, pallas field): 488 ->
-    339 ms/image going 4096 -> 512 — the same working-set effect as the fused
-    eval renderer's 512-ray chunks (the per-chunk raws here are up to
-    [chunk, 64+128+128*n_obj, 37] f32). N_test stays the memory upper bound."""
+    """Ray-chunk size for whole-image edits: N_test capped at 128 when evenly
+    divisible. Measured on v5e (128x128 image, pallas field), ms/image by
+    chunk: 1 obj {32: 265, 64: 264, 128: 261, 256: 283, 512: 296, 1024: 321,
+    2048: 339, 4096: 488-era}; 2 obj {128: 509, 256: 538, 512: 558} — the
+    working-set effect of keeping the per-chunk [chunk, 64+128+128*n_obj, 37]
+    f32 raws near VMEM size so XLA fuses the exchanger/composite consumers
+    instead of round-tripping HBM. N_test stays the memory upper bound."""
     c = int(args.N_test)
     return EDIT_CHUNK if c > EDIT_CHUNK and c % EDIT_CHUNK == 0 else c
 
@@ -191,15 +199,12 @@ def _fine_accum_fn(cfg, params, use_pallas: bool, mesh=None):
     if not use_pallas:
         return None
     from dmnerf_tpu.ops.pallas.render_field import make_render_field
-    rf = make_render_field(cfg, heads="all", mesh=mesh)
+    rf = make_render_field(cfg, heads="ins", mesh=mesh)
 
     def accum(rays_o, rays_d, z_full):
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         pts = (rays_o[:, None, :]
                + rays_d[:, None, :] * z_full[:, :, None])
-        _, _, ins_logits = rf(params["fine"], pts, viewdirs[:, None, :],
-                              z_full, rays_d)
-        return jax.nn.sigmoid(ins_logits)
+        return jax.nn.sigmoid(rf(params["fine"], pts, z_full, rays_d))
 
     return accum
 

@@ -65,6 +65,34 @@ def _density_body(cfg: FieldConfig, x, wb):
     return mm(h, wd) + bo[:]
 
 
+def _ins_body(cfg: FieldConfig, x, wb):
+    """Trunk + density + instance branch only (no rgb head, no viewdirs).
+    x [T,XP]. Returns raw [T,C] with col 3 = sigma and cols 4: = ins logits
+    (cols 0:3 are rgb biases — garbage, never read). Saves the rgb half of wf,
+    the whole wrh matmul, and the viewdir encoding vs _fwd_body — ~15% of the
+    per-point MACs — for consumers that only composite the instance map."""
+    D, W = cfg.netdepth, cfg.netwidth
+    t, bt = wb[0:D], wb[D]
+    wf, bf = wb[D + 1], wb[D + 2]
+    wih, bih = wb[D + 5], wb[D + 6]
+    wo, wd, bo = wb[D + 7], wb[D + 8], wb[D + 9]
+
+    def mm(a, w):
+        return jnp.dot(a, w, preferred_element_type=F32)
+
+    dt = cfg.compute_dtype
+    a = x
+    h = x
+    for i in range(D):
+        h = jnp.maximum(mm(a, t[i][:]) + bt[i], 0.0).astype(dt)
+        a = jnp.concatenate([h, x], axis=-1) if i == cfg.skip else h
+
+    ins_f = (mm(h, wf[:, W:]) + bf[W:]).astype(dt)
+    ins_h = jnp.maximum(mm(ins_f, wih[:]) + bih[:], 0.0).astype(dt)
+    # wo rows W//2:W carry ins_out into cols 4:C (pack_params); wd col 3 = sigma
+    return mm(ins_h, wo[W // 2:W]) + mm(h, wd[:]) + bo[:]
+
+
 def _transmittance(alpha):
     """Exclusive cumprod of (1 - alpha + 1e-10) along the sample axis via a
     strict-lower-triangular [S,S] ones matmul in log space.
@@ -97,6 +125,15 @@ def _composite_kernel(cfg, tr, s, heads, outw, x_ref, d_ref, z_ref, dists_ref,
         rawd = _density_body(cfg, x_ref[:], wb)          # [TR*S, C]
         weights = _weights_from(rawd.reshape(tr, s, rawd.shape[-1]), dists)
         out_ref[:] = jnp.pad(weights, ((0, 0), (0, outw - s)))
+        return
+
+    if heads == "ins":
+        raw = _ins_body(cfg, x_ref[:], wb)               # [TR*S, C]
+        C = raw.shape[-1]
+        raw3 = raw.reshape(tr, s, C)
+        weights = _weights_from(raw3, dists)
+        ins_logits = jnp.sum(weights[:, :, None] * raw3[:, :, 4:], axis=1)
+        out_ref[:] = jnp.pad(ins_logits, ((0, 0), (0, outw - C + 4)))
         return
 
     raw, _ = _fwd_body(cfg, x_ref[:], d_ref[:], wb)      # [TR*S, C] f32
@@ -136,11 +173,12 @@ def _make_call(cfg: FieldConfig, heads: str):
     def call(enc_x, enc_d, z, dists, *wb):
         n, s = z.shape
         tr = _tile_rays(n, s)
-        outw = _ru(s if heads == "sigma" else C, 128)
+        outw = _ru(s if heads == "sigma" else (C - 4 if heads == "ins" else C),
+                   128)
         wb_c = _cast_packed(wb, cfg)
         bx = pl.BlockSpec((tr * s, enc_x.shape[1]), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-        if heads == "sigma":
+        if heads in ("sigma", "ins"):
             # dummy dirs: one constant block, never read
             bd = pl.BlockSpec((enc_d.shape[0], enc_d.shape[1]),
                               lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -179,13 +217,16 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
                    rays_d [R,3]) -> (rgb [R,3], depth [R], ins_logits [R,K+1])
     heads="sigma": rf(params, pts, z, rays_d) -> weights [R,S]
                    (coarse pass: importance weights only; no viewdirs)
+    heads="ins":   rf(params, pts, z, rays_d) -> ins_logits [R,K+1]
+                   (manipulator accum passes: instance map only; no viewdirs,
+                   no rgb branch — ~15% fewer MACs/point than "all")
 
     Under a mesh the kernel shard_maps over the ray axis (weights replicated);
     ray counts not divisible by the mesh axis are zero-padded (padded rays
     composite to zeros and are cropped), matching field_kernels.make_field's
     tolerance of arbitrary row counts.
     """
-    assert heads in ("all", "sigma")
+    assert heads in ("all", "sigma", "ins")
     n_shards = int(mesh.shape[axis_name]) if mesh is not None else 1
     dt = cfg.compute_dtype
     call = _make_call(cfg, heads)
@@ -223,7 +264,7 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
             return fn(enc_x, enc_d, z, dists, *wb)
         return call(enc_x, enc_d, z, dists, *wb)
 
-    if heads == "sigma":
+    if heads in ("sigma", "ins"):
         def rf(params, pts, z, rays_d):
             n, s = z.shape
             pts, _, z, rays_d = pad_rays(pts, None, z, rays_d)
@@ -231,7 +272,8 @@ def make_render_field(cfg: FieldConfig, heads: str = "all", mesh=None,
             enc_d = jnp.zeros((8, 128), dt)
             wb = pack_params(params, cfg)
             out = run(enc_x, enc_d, z, _dists(z, rays_d), wb, True)
-            return out[:n, :s]
+            return out[:n, :s] if heads == "sigma" \
+                else out[:n, :cfg.ins_num + 1]
         return rf
 
     def rf(params, pts, viewdirs, z, rays_d):

@@ -125,10 +125,10 @@ def test_edit_chunk_cap():
     from dmnerf_tpu.config import default_config
     from dmnerf_tpu.edit.manipulator import edit_chunk
 
-    assert edit_chunk(default_config(N_test=4096)) == 512
-    assert edit_chunk(default_config(N_test=512)) == 512
+    assert edit_chunk(default_config(N_test=4096)) == 128
+    assert edit_chunk(default_config(N_test=128)) == 128
     assert edit_chunk(default_config(N_test=1000)) == 1000  # not divisible
-    assert edit_chunk(default_config(N_test=256)) == 256    # already smaller
+    assert edit_chunk(default_config(N_test=64)) == 64      # already smaller
 
 
 def test_image_manipulator_chunk_invariant():

@@ -61,6 +61,24 @@ def test_sigma_weights_match_composite():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_ins_heads_match_composite():
+    """heads='ins' (manipulator accum passes) == XLA field + composite .ins
+    with the air channel kept."""
+    from dmnerf_tpu.core.rendering import composite, eval_field
+    rays_o, rays_d, z, params = _scene(R=16, S=8)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[:, :, None]
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    raw = eval_field(lambda p, v: apply_field(params["fine"], CFG, p, v),
+                     rays_o, rays_d, vd, z)
+    want = composite(raw, z, rays_d, keep_air=True).ins
+
+    rf = make_render_field(CFG, heads="ins")
+    got = jax.nn.sigmoid(rf(params["fine"], pts, z, rays_d))
+    assert got.shape == (16, CFG.ins_num + 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_image_renderer_fused_matches_unfused():
     """make_image_renderer(fused) == the XLA chunked path, single + sharded."""
     from dmnerf_tpu.config import default_config
