@@ -35,49 +35,68 @@ import numpy as np
 
 
 @jax.custom_vjp
-def _bce_core(logits: jnp.ndarray, wb: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
-    """Sum over [R, S, C] of the penalizer BCE.
+def _bce_core(raw: jnp.ndarray, wb: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
+    """Sum over [R, S, C_raw] of the penalizer BCE, on the FULL-WIDTH raw.
 
+    raw: [R, S, 4+K+1] — the rgb/density channels 0:4 are excluded by a
+        compiled-in channel mask, NOT a slice. Round-3 profiling showed the
+        logits-slice formulation cost ~2.6 ms/step of pure data movement:
+        `raw[..., 4:]` is a lane-SHIFTED slice of a 37-lane tensor (relayout
+        copy on TPU) and the backward's [R,S,33] cotangent had to be padded
+        back to 37 lanes before adding to the composite's raw cotangent.
+        Masked full-width ops fuse into single passes with no relayout.
     wb: [R, S] per-sample weight of the "before" BCE (already includes the
         1/(C * Z_before) normalization); targets one-hot(air).
     wm: [R, S] per-sample weight of the "middle" BCE on the AIR channel only
         (already includes 1/Z_middle); target 0.
     """
-    loss, _ = _bce_value(logits, wb, wm)
+    loss, _ = _bce_value(raw, wb, wm)
     return loss
 
 
-def _bce_value(logits, wb, wm):
+def _masks(x):
+    # ins-channel and air-channel masks over the raw lane axis [C]; iota
+    # comparisons fuse into the consuming pass (no materialized constants)
+    C = x.shape[-1]
+    c = jax.lax.iota(x.dtype, C)
+    return (c >= 4).astype(x.dtype), (c == C - 1).astype(x.dtype)
+
+
+def _bce_value(raw, wb, wm):
     # Materialization discipline (profiled: a first custom-VJP draft that
     # returned the gradient as the residual made XLA materialize FIVE
     # [R,S,C] f32 intermediates in the forward — 394 MB accessed, ~3 ms/step):
     # the forward materializes exactly ONE big array, t = exp(-|x|), which the
     # loss reduction consumes in the same fusion. The channel split collapses
-    # via  sum_{c!=air} softplus(x_c) + softplus(-x_air)
-    #        = sum_c softplus(x_c) - x_air     (softplus(-a) = softplus(a) - a)
-    # so no [..., :-1] slice of a big intermediate is ever formed.
-    x = logits
+    # via  sum_{c ins, c!=air} softplus(x_c) + softplus(-x_air)
+    #        = sum_{c ins} softplus(x_c) - x_air   (softplus(-a) = softplus(a) - a)
+    # and the ins/air channel selections are mask MULTIPLIES folded into the
+    # same fusion:  loss = sum x_sp * (ins*wb + air*wm) - sum x*air*wb.
+    x = raw
+    ins, air = _masks(x)
     t = jnp.exp(-jnp.abs(x))               # the ONE transcendental pass
     sp = jnp.maximum(x, 0.0) + jnp.log1p(t)            # softplus(x)
-    before_sum = jnp.sum(sp, axis=-1) - x[..., -1]
-    loss = jnp.sum(before_sum * wb + sp[..., -1] * wm)
+    w_all = ins * wb[..., None] + air * wm[..., None]
+    loss = jnp.sum(sp * w_all - x * (air * wb[..., None]))
     return loss, t
 
 
-def _bce_fwd(logits, wb, wm):
-    loss, t = _bce_value(logits, wb, wm)
-    return loss, (logits, t, wb, wm)
+def _bce_fwd(raw, wb, wm):
+    loss, t = _bce_value(raw, wb, wm)
+    return loss, (raw, t, wb, wm)
 
 
 def _bce_bwd(res, g):
-    # one fused elementwise pass, zero transcendentals: sigmoid from stored t
+    # one fused elementwise pass, zero transcendentals: sigmoid from stored t;
+    # full-width [R,S,C] cotangent (zeros on rgb/density lanes via the mask),
+    # added to the composite's raw cotangent with no pad/relayout
     x, t, wb, wm = res
+    ins, air = _masks(x)
     inv1pt = 1.0 / (1.0 + t)
     sig = jnp.where(x >= 0, inv1pt, 1.0 - inv1pt)      # sigmoid(x)
-    # per-channel target weights: every channel gets +wb toward one-hot(air)
-    # (air: d softplus(-x)/dx = sig - 1), air additionally +wm toward 0
-    air = jnp.zeros((x.shape[-1],), x.dtype).at[-1].set(1.0)
-    w_all = wb[..., None] + air * wm[..., None]
+    # per-channel target weights: every ins channel gets +wb toward
+    # one-hot(air) (air: d softplus(-x)/dx = sig - 1), air additionally +wm
+    w_all = ins * wb[..., None] + air * wm[..., None]
     grad = sig * w_all - air * wb[..., None]
     return (g * grad, None, None)
 
@@ -104,14 +123,13 @@ def emptiness_penalizer(raw: jnp.ndarray, z_vals: jnp.ndarray, depths: jnp.ndarr
     mask_after = (p_dists > dists_after).astype(raw.dtype)
     mask_middle = 1.0 - (mask_after + mask_before)
 
-    logits = raw[..., 4:]  # [R, S, K+1]
-    n_ch = logits.shape[-1]
+    n_ch = raw.shape[-1] - 4  # K+1 instance channels
 
     # fold the reference's normalizations into the per-sample weight maps;
     # everything here depends only on z/depth/rays_d (no live param path)
     wb = gauss_air * mask_before / (n_ch * jnp.maximum(jnp.sum(mask_before), 1e-8))
     wm = gauss * mask_middle / jnp.maximum(jnp.sum(mask_middle), 1e-8)
-    return _bce_core(logits, jax.lax.stop_gradient(wb),
+    return _bce_core(raw, jax.lax.stop_gradient(wb),
                      jax.lax.stop_gradient(wm))
 
 
