@@ -907,8 +907,10 @@ def test_manipulator_pipeline_matches_reference(ref, monkeypatch):
 
 # ------------------------------------------- 15. full render_test pipeline
 
-@pytest.mark.parametrize("crop", [False, True])
-def test_render_test_full_pipeline(ref, tmp_path, monkeypatch, crop):
+@pytest.mark.parametrize("crop,via_ckpt", [(False, False), (True, False),
+                                           (False, True)])
+def test_render_test_full_pipeline(ref, tmp_path, monkeypatch, crop,
+                                   via_ckpt):
     """A/B the reference's ENTIRE test-rendering entry (tester.py:17-162) —
     chunked full-image render, per-view metrics, ins_eval + matching map,
     png/json/txt artifacts — against eval/tester.py with copied weights.
@@ -1018,6 +1020,31 @@ def test_render_test_full_pipeline(ref, tmp_path, monkeypatch, crop):
                           multires=4, multires_views=2)
     args.ins_num = scene.ins_num
     args.crop_height, args.crop_width = ch, cw
+    if via_ckpt:
+        # Same artifact-exact A/B, but our params arrive through the FULL
+        # migration path: torch.save of the reference's own checkpoint blob
+        # (train_dmsr.py:78-86) -> tools/import_torch_ckpt.py -> orbax
+        # restore (the identical load path cli.test uses)
+        import os as _os
+        tools_dir = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "tools")
+        if tools_dir not in sys.path:
+            sys.path.insert(0, tools_dir)
+        from import_torch_ckpt import import_checkpoint
+
+        from dmnerf_tpu.train.checkpoint import restore_checkpoint
+        from dmnerf_tpu.train.step import create_train_state
+        tar = tmp_path / "100000.tar"
+        torch.save({"iteration": 100000,
+                    "network_coarse_state_dict": model_c.state_dict(),
+                    "network_fine_state_dict": model_f.state_dict(),
+                    "optimizer_state_dict": {}}, str(tar))
+        args.ins_num = None  # the tool must infer it from the ins head
+        out = import_checkpoint(str(tar), args, out_dir=str(tmp_path / "imp"))
+        assert args.ins_num == scene.ins_num
+        template = create_train_state(jax.random.PRNGKey(0), cfg,
+                                      args.lrate, args.lrate_decay)
+        params = restore_checkpoint(out, template).params
     render_im = make_image_renderer(cfg, args, H, W, fused=False)
     our_render_test(render_im, params, scene.poses[sel], scene.hwk, args,
                     gt_imgs=scene.images[sel], gt_labels=scene.gt_labels[sel],
