@@ -30,17 +30,16 @@ def _train_flops_per_step(n_train, n_samples, n_importance, params_per_field):
     return 3 * 2 * params_per_field * pts
 
 
-def main(scan_steps: int = 50, pallas_train: bool = True):
-    from dmnerf_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    import jax
-    import jax.numpy as jnp
+def _bench_workload(ins_num: int, pallas_train: bool):
+    """Shared bench scene/args: the reference train workload with the scene's
+    4 labels spatially subdivided into ins_num pseudo-objects so valid slots
+    per batch look like a real view (DMSR ~25-32/32; Replica ships 59+
+    object codes, loader_replica.py:78-97)."""
     import numpy as np
 
     from dmnerf_tpu.config import default_config
     from dmnerf_tpu.data.synthetic import make_scene
-    from dmnerf_tpu.models.fields import FieldConfig, param_count, init_field_params
-    from dmnerf_tpu.train.step import create_train_state, make_train_scan_step
+    from dmnerf_tpu.models.fields import FieldConfig
 
     args = default_config(
         N_train=3072, N_samples=64, N_importance=128,
@@ -51,18 +50,79 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
         pallas_train=pallas_train,
     )
     scene = make_scene(H=128, W=128, n_train=4, n_test=4)
-    # reference scenes have ~30 object slots, most visible per view; the
-    # synthetic scene only has 4 instances, which would understate the
-    # Hungarian/instance-loss work (its Dijkstra phase count scales with the
-    # number of VALID slots in the batch). Subdivide each label spatially into
-    # 8 pseudo-objects so valid slots per batch ≈ 25-32 of 32, like a real
-    # DMSR view.
+    per = ins_num // 4
     yy, xx = np.meshgrid(np.arange(scene.H), np.arange(scene.W), indexing="ij")
-    sub = ((yy * 2) // scene.H) * 4 + ((xx * 4) // scene.W)       # [H, W] 0..7
-    scene.gt_labels = (scene.gt_labels * 8 + sub[None]).astype(
+    sub = (((yy * (per // 4)) // scene.H) * 4
+           + ((xx * 4) // scene.W))                   # [H, W] 0..per-1
+    scene.gt_labels = (scene.gt_labels * per + sub[None]).astype(
         scene.gt_labels.dtype)
-    args.ins_num = 32
-    cfg = FieldConfig.from_args(args)
+    args.ins_num = ins_num
+    return args, scene, FieldConfig.from_args(args)
+
+
+def measure_k64(scan_steps: int = 50, pallas_train: bool = True) -> None:
+    """Standalone K=64 train-step measurement (run in its OWN process: the
+    axon TPU is single-tenant and in-process co-residence with the K=32
+    bench measurably distorts this number — 85 vs 37 ms/step, round-4 note
+    in docs/DESIGN.md). Prints 'k64_ms_per_step <float>'."""
+    from dmnerf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmnerf_tpu.train.step import create_train_state, make_train_scan_step
+
+    args, scene, cfg = _bench_workload(64, pallas_train)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, args.lrate,
+                               args.lrate_decay)
+    step_fn = make_train_scan_step(args, cfg, scan_steps=scan_steps)
+    arrs = scene.to_device_arrays()
+    i_train = jnp.asarray(np.asarray(scene.i_train), jnp.int32)
+    base_key = jax.random.PRNGKey(1)
+    state, m = step_fn(state, arrs, base_key, i_train)  # compile + warm
+    jax.block_until_ready(m["total_loss"])
+    n_dispatch = 2
+    t0 = time.perf_counter()
+    for _ in range(n_dispatch):
+        state, m = step_fn(state, arrs, base_key, i_train)
+    jax.block_until_ready(m["total_loss"])
+    ms = (time.perf_counter() - t0) / (n_dispatch * scan_steps) * 1e3
+    print(f"k64_ms_per_step {ms:.4f}")
+
+
+def main(scan_steps: int = 50, pallas_train: bool = True):
+    # ---- K=64 train variant, measured FIRST in a clean child process (the
+    # single-tenant TPU is untouched by this process until the child exits)
+    ms_step_k64 = None
+    try:
+        import os as _os
+        import subprocess as _sp
+        import sys as _sys
+        cmd = [_sys.executable, _os.path.abspath(__file__), "--k64_only"]
+        if not pallas_train:
+            cmd.append("--no_pallas_train")
+        out = _sp.run(cmd, capture_output=True, text=True, timeout=1800)
+        for line in out.stdout.splitlines():
+            if line.startswith("k64_ms_per_step"):
+                ms_step_k64 = float(line.split()[1])
+        if ms_step_k64 is None:
+            print(f"bench: K=64 child produced no number: "
+                  f"{out.stderr[-500:]}", file=_sys.stderr)
+    except Exception as e:  # pragma: no cover - diagnostic guard
+        import sys as _sys
+        print(f"bench: K=64 train variant failed: {e!r}", file=_sys.stderr)
+
+    from dmnerf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmnerf_tpu.models.fields import param_count, init_field_params
+    from dmnerf_tpu.train.step import create_train_state, make_train_scan_step
+
+    args, scene, cfg = _bench_workload(32, pallas_train)
     # this bench runs WITHOUT a mesh (the driver's box exposes one chip);
     # dividing by len(jax.devices()) would misreport per-chip rates on a
     # multi-chip host where the un-meshed work runs on device 0 only
@@ -190,6 +250,8 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
         "unit": "rays/s/chip",
         "vs_baseline": round(value / ASSUMED_REFERENCE_RAYS_PER_SEC, 3),
         "ms_per_step": round(ms_step, 2),
+        "ms_per_step_k64": (round(ms_step_k64, 2)
+                            if ms_step_k64 is not None else None),
         "model_tflops_per_sec": round(tfs, 1),
         "mfu_vs_bf16_peak": round(mfu, 3),
         "render_rays_per_sec_per_chip": round(render_rps, 1),
@@ -209,4 +271,7 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
 if __name__ == "__main__":
     import sys
     pt = "--no_pallas_train" not in sys.argv
-    main(pallas_train=pt)
+    if "--k64_only" in sys.argv:
+        measure_k64(pallas_train=pt)
+    else:
+        main(pallas_train=pt)

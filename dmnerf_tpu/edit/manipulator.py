@@ -320,7 +320,12 @@ def make_pose_image_manipulator(cfg, params, args, objs, move_labels: List[int],
 
     Returns run(ori_pose [4,4], tar_poses [n_obj,4,4], dscales [n_obj]) with
     the same outputs/packing as make_image_manipulator (padded to n_rays;
-    callers crop to H*W)."""
+    callers crop to H*W).
+
+    Documented deviation: deform offsets (curve x scale) are computed in f32
+    on device; the host-ray path computed them in f64 before casting. Drift
+    is ~1e-7 per offset (test_manipulator.py bounds it at 2e-5 end-to-end) —
+    the two paths are equal to tolerance, not bit-identical."""
     n_obj = len(objs)
     chunk = edit_chunk(args)
     n = H * W

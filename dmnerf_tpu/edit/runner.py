@@ -20,10 +20,8 @@ import numpy as np
 
 import jax
 
-from dmnerf_tpu.core.rays import get_rays
 from dmnerf_tpu.edit.deform import deform_scale
-from dmnerf_tpu.edit.manipulator import (edit_chunk, make_image_manipulator,
-                                         make_pose_image_manipulator)
+from dmnerf_tpu.edit.manipulator import make_pose_image_manipulator
 from dmnerf_tpu.eval.instance_ap import ins_eval_from_labels
 from dmnerf_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
 from dmnerf_tpu.utils.viz import render_gt_label2img, render_label2img, to8b
@@ -31,34 +29,8 @@ from dmnerf_tpu.utils.viz import render_gt_label2img, render_label2img, to8b
 import jax.numpy as jnp
 
 
-def _full_rays(H, W, K, c2w):
-    ro, rd = get_rays(H, W, jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32))
-    return np.asarray(ro).reshape(-1, 3), np.asarray(rd).reshape(-1, 3)
-
-
-def _dispatch_edit_image(run_image, ori_o, ori_d, tar_os, tar_ds, chunk):
-    """Dispatch a one-jit edit over one image's rays WITHOUT fetching.
-    tar_os/tar_ds: [n_obj, H*W, 3]. Returns (device_outs, n)."""
-    n = ori_o.shape[0]
-    n_pad = (-n) % chunk
-
-    def pad(x, axis=0):
-        if not n_pad:
-            return x
-        last = np.take(x, [-1], axis=axis)
-        reps = [1] * x.ndim
-        reps[axis] = n_pad
-        return np.concatenate([x, np.tile(last, reps)], axis=axis)
-
-    ori_o, ori_d = pad(ori_o), pad(ori_d)
-    tar_os, tar_ds = pad(tar_os, 1), pad(tar_ds, 1)
-    outs = run_image(jnp.asarray(ori_o), jnp.asarray(ori_d),
-                     jnp.asarray(tar_os), jnp.asarray(tar_ds))
-    return outs, n
-
-
 def _fetch_edit_image(dispatched):
-    """Fetch a _dispatch_edit_image result as numpy: (rgb, label_full,
+    """Fetch a dispatched-edit (device_outs, n) pair as numpy: (rgb, label_full,
     label_noair, conf_noair). Unpacks --d2h_pack outputs (detected by dtype)
     back to the f32/int32 interface consumers expect.
 
