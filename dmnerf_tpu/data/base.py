@@ -79,6 +79,11 @@ def dataset_name_from_dir(datadir: str) -> str:
     for p in parts:
         if p in ("dmsr", "replica", "scannet", "synthetic"):
             return p
+    # variant dirs keep their family's loader (e.g. replica64 -> replica)
+    for p in parts:
+        for name in ("dmsr", "replica", "scannet", "synthetic"):
+            if p.startswith(name):
+                return name
     return parts[-2] if len(parts) >= 2 else "dmsr"
 
 

@@ -11,7 +11,11 @@ Usage: python tools/bench_losses.py [--k 32] [--valid 30]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

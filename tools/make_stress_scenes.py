@@ -138,10 +138,14 @@ def write_dmsr(out, rend, n_obj=16, H=480, W=640, n_train=48, n_test=4,
 
 # ------------------------------------------------------------------- Replica
 
-def write_replica(out, rend, n_obj=10, H=120, W=160):
+def write_replica(out, rend, n_obj=10, H=120, W=160, name="replica"):
     """Replica's loader hardcodes a 900-frame trajectory, train = every 5th,
-    test = train+2 — 360 rendered frames, so this fixture is low-res."""
-    base = os.path.join(out, "replica", "stress")
+    test = train+2 — 360 rendered frames, so this fixture is low-res.
+
+    name="replica64" / n_obj=64 writes the high-instance-count variant
+    (real Replica scenes carry 59+ object codes, loader_replica.py:78-97) —
+    the K>=64 instance-loss/LAP drill fixture."""
+    base = os.path.join(out, name, "stress")
     os.makedirs(os.path.join(base, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(base, "semantic_instance"), exist_ok=True)
     objs = make_objects(n_obj, seed=3)
@@ -215,7 +219,7 @@ def main():
     ap.add_argument("--out", default="data/stress_scenes")
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--only", default=None,
-                    choices=[None, "dmsr", "replica", "scannet"])
+                    choices=[None, "dmsr", "replica", "replica64", "scannet"])
     ap.add_argument("--dmsr_train_views", type=int, default=48,
                     help="train-view count for the DM-SR scene (the reference "
                          "DM-SR scenes ship ~300 views; 96 is enough to push "
@@ -226,6 +230,8 @@ def main():
         write_dmsr(args.out, rend, n_train=args.dmsr_train_views)
     if args.only in (None, "replica"):
         write_replica(args.out, rend)
+    if args.only == "replica64":
+        write_replica(args.out, rend, n_obj=64, name="replica64")
     if args.only in (None, "scannet"):
         write_scannet(args.out, rend)
     print("done:", args.out)

@@ -19,6 +19,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFG = {
     "dmsr": "configs/stress/dmsr_stress.txt",
     "replica": "configs/stress/replica_stress.txt",
+    "replica64": "configs/stress/replica64_stress.txt",
     "scannet": "configs/stress/scannet_stress.txt",
 }
 
