@@ -3,6 +3,8 @@
 
 import os
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -27,6 +29,7 @@ def _setup():
     return scene, args, cfg, state
 
 
+@pytest.mark.slow
 def test_manipulator_eval_runs(tmp_path):
     scene, args, cfg, state = _setup()
     trans = _center_conjugate(_mode_matrix("translation"), [0.0, 0.0, 0.0])
@@ -48,6 +51,7 @@ def test_manipulator_eval_runs(tmp_path):
     assert os.path.exists(os.path.join(d, "matching_log.json"))
 
 
+@pytest.mark.slow
 def test_manipulator_demo_runs(tmp_path):
     scene, args, cfg, state = _setup()
     objs = [

@@ -1,5 +1,7 @@
 """Driver entry points: single-chip forward compile + multichip dryrun."""
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -14,6 +16,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(rgb)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
@@ -21,6 +24,7 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2_and_4():
     import __graft_entry__ as ge
 

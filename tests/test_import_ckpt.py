@@ -69,6 +69,7 @@ def _write_ref_ckpt(path, params, cfg, iteration):
     }, path)
 
 
+@pytest.mark.slow
 def test_roundtrip_bit_exact(tmp_path):
     """tar -> ckpt_N -> restore == original params, step preserved."""
     args = _args()

@@ -20,6 +20,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.oracle
+
 from dmnerf_tpu.eval.lpips_jax import load_lpips
 from tools.convert_lpips import VGG16_CONV_IDX
 

@@ -1,5 +1,7 @@
 """Manipulator: exchanger semantics + full edit pipeline shape/finite checks."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,6 +76,7 @@ def test_exchanger_filling():
     np.testing.assert_allclose(np.asarray(out), np.asarray(tar), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_manipulate_chunk_runs():
     cfg = FieldConfig(netdepth=2, netwidth=32, multires=4, multires_views=2,
                       ins_num=K, compute_dtype=jnp.float32)
@@ -131,6 +134,7 @@ def test_edit_chunk_cap():
     assert edit_chunk(default_config(N_test=64)) == 64      # already smaller
 
 
+@pytest.mark.slow
 def test_image_manipulator_chunk_invariant():
     """Whole-image edit result must not depend on the chunk split."""
     import numpy as np
@@ -162,6 +166,7 @@ def test_image_manipulator_chunk_invariant():
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_image_manipulator_pallas_accum_matches_xla():
     """use_pallas routes the fine accum passes through the fused composite
     kernel; the edited image must match the XLA path (labels can differ only
@@ -200,6 +205,7 @@ def test_image_manipulator_pallas_accum_matches_xla():
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
 
 
+@pytest.mark.slow
 def test_pose_manipulator_matches_ray_manipulator():
     """make_pose_image_manipulator (in-graph raygen from poses) must equal
     make_image_manipulator fed the host-built rays, including a mixed

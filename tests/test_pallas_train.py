@@ -1,6 +1,8 @@
 """Trainable fused Pallas field: forward AND gradients vs the XLA path
 (interpret mode on CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,6 +86,7 @@ def test_pts_grads_match_xla():
                                atol=5e-3, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_pallas_field_sharded_matches_single(monkeypatch):
     """shard_map'd kernel on an 8-device mesh: forward and param grads match
     the unsharded kernel (weights replicated in -> grad psum via the shard_map

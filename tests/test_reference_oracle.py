@@ -66,6 +66,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.oracle
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"

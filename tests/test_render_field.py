@@ -28,6 +28,7 @@ def _scene(R=8, S=6):
     return rays_o, rays_d, z, params
 
 
+@pytest.mark.slow
 def test_fused_chunk_matches_render_rays():
     rays_o, rays_d, z, params = _scene()
     coarse_fn = lambda pts, vd: apply_field(params["coarse"], CFG, pts, vd)
@@ -136,6 +137,7 @@ def test_mesh_label_fn_fused_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_fused_chunk_indivisible_by_mesh():
     """Ray counts not divisible by the mesh axis must render (zero-padded),
     matching the unfused path's tolerance (regression: shard_map divisibility

@@ -1,6 +1,8 @@
 """Training resume: save mid-run, restore, continue — step count and params
 round-trip (the reference cannot resume at all, SURVEY.md §5)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +15,7 @@ from dmnerf_tpu.train.checkpoint import (latest_checkpoint, restore_checkpoint,
 from dmnerf_tpu.train.step import create_train_state, make_train_step
 
 
+@pytest.mark.slow
 def test_resume_continues_identically(tmp_path):
     scene = make_scene(H=16, W=16, n_train=2, n_test=1)
     args = default_config(N_train=64, N_samples=8, N_importance=8,

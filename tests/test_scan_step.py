@@ -5,6 +5,8 @@ uninterrupted sequence (all per-step randomness derives from (seed, step))."""
 import json
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,7 @@ def tiny_args(**kw):
     return args
 
 
+@pytest.mark.slow
 def test_scan_matches_single_steps():
     scene = make_scene(H=16, W=16, n_train=3, n_test=1)
     args = tiny_args()
@@ -54,6 +57,7 @@ def test_scan_matches_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_loop_resume_replays_uninterrupted_run(tmp_path):
     """VERDICT r1 item 7: N steps + resume + N steps == 2N steps, bit-for-bit
     metrics (the reference's host RNG cannot do this, train_dmsr.py:25)."""
@@ -102,6 +106,7 @@ def test_loop_resume_replays_uninterrupted_run(tmp_path):
                                    full_rows[r["step"]]["total_loss"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_loop_tail_dispatch(tmp_path):
     """n_iters not divisible by scan_steps: the remainder runs as a tail scan
     and the final step count is exact (the reference's 500001-iteration budget
@@ -121,6 +126,7 @@ def test_loop_tail_dispatch(tmp_path):
     assert int(s.step) == 7
 
 
+@pytest.mark.slow
 def test_profile_steps_writes_trace(tmp_path):
     """--profile_steps N captures a jax.profiler trace of steady-state
     dispatches into {logdir}/profile (SURVEY §5: reference has no tracing)."""
@@ -145,6 +151,7 @@ def test_profile_steps_writes_trace(tmp_path):
                      recursive=True), "no trace written"
 
 
+@pytest.mark.slow
 def test_loop_cadences_fire_with_non_dividing_stride(tmp_path):
     """--scan_steps that doesn't divide i_save/i_print: triggers fire on
     crossing each multiple instead of silently never (code-review r2)."""

@@ -60,12 +60,14 @@ def test_train_loss_decreases(scene):
     assert psnr_last > psnr_first
 
 
+@pytest.mark.slow
 def test_train_no_penalizer(scene):
     args = tiny_args(penalize=False)
     _, hist = run_steps(args, scene, 10)
     assert np.isfinite(hist[-1]["total_loss"])
 
 
+@pytest.mark.slow
 def test_train_sharded_multichip(scene):
     """Ray batch sharded over 8 virtual devices — same math, psum'd grads."""
     assert len(jax.devices()) == 8
@@ -75,6 +77,7 @@ def test_train_sharded_multichip(scene):
     assert np.isfinite(hist[-1]["total_loss"])
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(scene):
     """One step with and without mesh must agree (same rng)."""
     args = tiny_args(perturb=0.0, penalize=True)
@@ -84,6 +87,7 @@ def test_sharded_matches_single_device(scene):
         np.testing.assert_allclose(a["total_loss"], b["total_loss"], rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_crop_sampler_runs(scene):
     """ScanNet-style 30% labeled sampling path."""
     import dataclasses
@@ -98,6 +102,7 @@ def test_crop_sampler_runs(scene):
     assert np.isfinite(hist[-1]["total_loss"])
 
 
+@pytest.mark.slow
 def test_train_2d_mesh_data_model(scene):
     """2-D (data, model) mesh: rays DP + tensor-parallel params compile+run
     and match the single-device step."""
