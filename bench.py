@@ -23,6 +23,12 @@ import time
 ASSUMED_REFERENCE_RAYS_PER_SEC = 15_000.0
 V5E_BF16_PEAK = 197e12
 
+# The test-suite size these numbers were validated against (full lane:
+# `pytest tests/ -q`; fast lane: `pytest -m "not oracle and not slow"`).
+# tests/test_suite_count.py asserts this matches live collection so the
+# emitted value cannot go stale.
+VALIDATED_TEST_COUNT = 220
+
 
 def _train_flops_per_step(n_train, n_samples, n_importance, params_per_field):
     """Model FLOPs (fwd + 2x bwd) of both field evaluations per train step."""
@@ -265,6 +271,7 @@ def main(scan_steps: int = 50, pallas_train: bool = True):
         "proj_8chip_comm_ms_per_step": round(comm_ms, 3),
         "proj_8chip_scaling_efficiency": round(proj_eff, 4),
         "proj_8chip_rays_per_sec": round(proj_rps, 0),
+        "validated_against_n_tests": VALIDATED_TEST_COUNT,
     }))
 
 
