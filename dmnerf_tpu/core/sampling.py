@@ -36,7 +36,8 @@ def perturb_z_vals(key: jax.Array, z_vals: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
-               key: jax.Array | None = None, det: bool = False) -> jnp.ndarray:
+               key: jax.Array | None = None, det: bool = False,
+               form: str = "auto") -> jnp.ndarray:
     """Inverse-CDF sampling of n_samples from a piecewise-constant pdf.
 
     bins:    [..., B] bin positions (z midpoints)
@@ -44,6 +45,11 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     (so cdf and bins have equal length B, as in the reference)
     Returns [..., n_samples]. Gradients are NOT stopped here; the caller applies
     stop_gradient (the reference detaches the result, render.py:68).
+
+    form: 'mask' (8-pass masked reductions, pure VPU), 'matmul' (boundary-
+    onehot batched matmul on the MXU), or 'auto' (pick by leading batch size —
+    see the measurement table below). Both forms produce bitwise-identical f32
+    outputs (tests/test_core.py::test_sample_pdf_forms_bitwise_equal).
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -57,32 +63,65 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         assert key is not None, "sample_pdf needs a key unless det=True"
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
 
-    # searchsorted(cdf, u, right=True) == count of cdf entries <= u. The four
-    # gathers cdf/bins[below/above] are ONE boundary-onehot batched matmul:
-    # le[s,b] = (cdf[b] <= u_s) is monotone non-increasing in b (cdf sorted),
-    # so le[s,b] - le[s,b+1] is the 0/1 indicator of b == below[s]
-    # (= max b with cdf[b] <= u_s; cdf[0] = 0 <= u guarantees it exists), and
-    # onehot @ [cdf, bins, cdf>>1, bins>>1] gathers all four in a single MXU
-    # contraction. >>1 is the clamped shift vals[min(b+1, B-1)], which at
-    # b = below IS vals[above]. Exactness: the onehot entries are exact 0/1
-    # and the contraction runs at HIGHEST precision, so each output is the
-    # bitwise f32 gather (one nonzero product per row). History: take_along_
-    # axis gathers measured 33 ms at the reference workload on TPU; the
-    # 8-pass masked-reduction form ~2 ms; this single-pass form ~0.5 ms (and
-    # ~3.5x fewer VPU passes on the eval/edit paths' det calls).
-    le = (cdf[..., None, :] <= u[..., :, None]).astype(cdf.dtype)  # [.., S, B]
-    onehot = le - jnp.concatenate(
-        [le[..., 1:], jnp.zeros_like(le[..., :1])], axis=-1)
-    shift = lambda v: jnp.concatenate([v[..., 1:], v[..., -1:]], axis=-1)
-    vals = jnp.stack([cdf, bins, shift(cdf), shift(bins)], axis=-1)  # [.., B, 4]
-    picked = jax.lax.dot_general(
-        onehot, vals,
-        dimension_numbers=(((onehot.ndim - 1,), (vals.ndim - 2,)),
-                           (tuple(range(onehot.ndim - 2)),
-                            tuple(range(vals.ndim - 2)))),
-        precision=jax.lax.Precision.HIGHEST)                        # [.., S, 4]
-    cdf_below, bins_below = picked[..., 0], picked[..., 1]
-    cdf_above, bins_above = picked[..., 2], picked[..., 3]
+    # searchsorted(cdf, u, right=True) == count of cdf entries <= u; both
+    # forms below realize the four gathers cdf/bins[below/above] from the same
+    # [.., S, B] comparison without any dynamic-index gather. History:
+    # take_along_axis gathers measured 33 ms at the reference workload on TPU.
+    # Form choice (measured, v5e, B=65, S=128, f32): the matmul form wins on
+    # SMALL batches (the edit path's chunk-128 batched det calls, ~3.5x fewer
+    # VPU passes); the mask form wins on LARGE batches (train 3072 / render
+    # 4096 rays), where the batched [.., S, B] x [.., B, 4] contraction's
+    # 4-wide output pads to 128 MXU lanes and costs ~2% whole-render time.
+    # 'auto' switches on the flattened leading batch size.
+    if form == "auto":
+        batch = 1
+        for d in cdf.shape[:-1]:
+            batch *= d
+        form = "matmul" if batch <= 1024 else "mask"
+
+    if form == "matmul":
+        # Boundary-onehot batched matmul: le[s,b] = (cdf[b] <= u_s) is
+        # monotone non-increasing in b (cdf sorted), so le[s,b] - le[s,b+1]
+        # is the 0/1 indicator of b == below[s] (= max b with cdf[b] <= u_s;
+        # cdf[0] = 0 <= u guarantees it exists), and onehot @ [cdf, bins,
+        # cdf>>1, bins>>1] gathers all four in a single MXU contraction.
+        # >>1 is the clamped shift vals[min(b+1, B-1)], which at b = below IS
+        # vals[above]. Exactness: the onehot entries are exact 0/1 and the
+        # contraction runs at HIGHEST precision, so each output is the
+        # bitwise f32 gather (one nonzero product per row).
+        le = (cdf[..., None, :] <= u[..., :, None]).astype(cdf.dtype)
+        onehot = le - jnp.concatenate(
+            [le[..., 1:], jnp.zeros_like(le[..., :1])], axis=-1)
+        shift = lambda v: jnp.concatenate([v[..., 1:], v[..., -1:]], axis=-1)
+        vals = jnp.stack([cdf, bins, shift(cdf), shift(bins)], axis=-1)
+        picked = jax.lax.dot_general(
+            onehot, vals,
+            dimension_numbers=(((onehot.ndim - 1,), (vals.ndim - 2,)),
+                               (tuple(range(onehot.ndim - 2)),
+                                tuple(range(vals.ndim - 2)))),
+            precision=jax.lax.Precision.HIGHEST)                    # [.., S, 4]
+        cdf_below, bins_below = picked[..., 0], picked[..., 1]
+        cdf_above, bins_above = picked[..., 2], picked[..., 3]
+    else:
+        # Masked reductions: cdf and bins are sorted, so vals[below] is the
+        # max over the prefix where cdf <= u and vals[above] the min over the
+        # suffix — 8 pure-VPU passes over [.., S, B], no MXU involvement.
+        le = cdf[..., None, :] <= u[..., :, None]        # [..., S, B]
+        neg = jnp.float32(-1e30)
+        pos = jnp.float32(1e30)
+
+        def prefix_max(vals):   # vals[below] with below clamped to 0
+            m = jnp.max(jnp.where(le, vals[..., None, :], neg), axis=-1)
+            return jnp.where(m == neg, vals[..., :1], m)
+
+        def suffix_min(vals):   # vals[above] with above clamped to B-1
+            m = jnp.min(jnp.where(le, pos, vals[..., None, :]), axis=-1)
+            return jnp.where(m == pos, vals[..., -1:], m)
+
+        cdf_below = prefix_max(cdf)
+        cdf_above = suffix_min(cdf)
+        bins_below = prefix_max(bins)
+        bins_above = suffix_min(bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

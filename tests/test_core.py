@@ -93,6 +93,24 @@ def test_sample_pdf_matches_numpy_searchsorted():
         np.testing.assert_allclose(out[r], expect, atol=1e-5)
 
 
+def test_sample_pdf_forms_bitwise_equal():
+    """The MXU onehot-matmul form and the VPU masked-reduction form must be
+    bitwise identical (the 'auto' switch between them may then never change
+    numerics). Covers both sides of the auto threshold (batch 1024) and both
+    det and stochastic u, including degenerate all-equal-weight rows."""
+    rng = np.random.default_rng(3)
+    for batch in (6, 2048):
+        bins = np.sort(rng.uniform(0, 10, (batch, 65)), -1).astype(np.float32)
+        w = rng.uniform(0.0, 2.0, (batch, 64)).astype(np.float32)
+        w[0] = 1.0  # uniform pdf row
+        for det, key in ((True, None), (False, jax.random.PRNGKey(7))):
+            a = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(w), 128,
+                                      key=key, det=det, form="matmul"))
+            b = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(w), 128,
+                                      key=key, det=det, form="mask"))
+            assert (a == b).all()
+
+
 def test_composite_opaque_surface():
     """A single very dense sample should dominate the composite."""
     R, S, K = 2, 8, 3
