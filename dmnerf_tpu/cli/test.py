@@ -145,6 +145,16 @@ def main(argv=None):
         from dmnerf_tpu.edit.runner import manipulator_demo
         from dmnerf_tpu.edit.transforms import (generate_poses_demo,
                                                 load_mani_demo_poses)
+        if getattr(args, "resolve_target_label", False):
+            # objs_info tar_ids are GT labels here (generated fixtures);
+            # the reference ships CHANNEL ids hand-picked per checkpoint —
+            # resolve all of them in one Hungarian-matching pass
+            from dmnerf_tpu.edit.runner import resolve_target_channel
+            gt_ids = [int(o["tar_id"]) for o in scene.objs]
+            ch_map = resolve_target_channel(cfg, params, args, scene,
+                                            mesh=mesh, targets=gt_ids)
+            for o in scene.objs:
+                o["tar_id"] = ch_map[int(o["tar_id"])]
         generate_poses_demo(scene.objs, args)
         objs_trans = load_mani_demo_poses(args)
         savedir = os.path.join(ldir, f"mani_demo_{iteration:06d}")

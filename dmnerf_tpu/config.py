@@ -91,6 +91,10 @@ FLAG_SPECS: List[FlagSpec] = [
     FlagSpec("i_img", int, 500, "(dead flag kept for compat)"),
     FlagSpec("i_save", int, 10000, "ckpt save frequency"),
     FlagSpec("i_test", int, 50000, "in-training testset frequency"),
+    FlagSpec("eval_views", int, 10, "test views per in-training eval (10 "
+             "random, reference train_dmsr.py:92; >= the test-split size "
+             "evaluates ALL test views in order — a fixed set gives "
+             "noise-free quality curves)"),
     # instance / penalizer options
     FlagSpec("penalize", bool, False, "penalize unlabeled rays toward air", store_true=True),
     FlagSpec("tolerance", float, None, "gaussian center offset from depth"),

@@ -35,6 +35,13 @@ def perturb_z_vals(key: jax.Array, z_vals: jnp.ndarray) -> jnp.ndarray:
     return lower + (upper - lower) * t_rand
 
 
+# Trace-time override of sample_pdf's `form` argument (None = use the call's
+# value). bench.py's render-form A/B sets this around renderer CONSTRUCTION:
+# the chosen form is baked into the trace, so already-compiled callables are
+# unaffected. Not a runtime knob — production callers pass form= explicitly.
+FORM_OVERRIDE: str | None = None
+
+
 def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
                key: jax.Array | None = None, det: bool = False,
                form: str = "auto") -> jnp.ndarray:
@@ -49,8 +56,18 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     form: 'mask' (8-pass masked reductions, pure VPU), 'matmul' (boundary-
     onehot batched matmul on the MXU), or 'auto' (pick by leading batch size —
     see the measurement table below). Both forms produce bitwise-identical f32
-    outputs (tests/test_core.py::test_sample_pdf_forms_bitwise_equal).
+    PRIMAL outputs (tests/test_core.py::test_sample_pdf_forms_bitwise_equal);
+    gradients are NOT form-equal at duplicate cdf values (max/min split the
+    cotangent among ties, the onehot routes it to one index), so a caller that
+    differentiates through this function would see form-dependent — hence,
+    via 'auto', batch-size-dependent — gradients. All current callers
+    stop_gradient the result (reference render.py:68); keep doing that.
     """
+    if FORM_OVERRIDE is not None:
+        form = FORM_OVERRIDE
+    if form not in ("auto", "matmul", "mask"):
+        raise ValueError(f"sample_pdf: unknown form {form!r} "
+                         "(expected 'auto', 'matmul' or 'mask')")
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
@@ -106,9 +123,11 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         # Masked reductions: cdf and bins are sorted, so vals[below] is the
         # max over the prefix where cdf <= u and vals[above] the min over the
         # suffix — 8 pure-VPU passes over [.., S, B], no MXU involvement.
+        # Sentinels derive from the dtype (finite under bf16 too, where a
+        # 1e30 literal would round to inf and break the == detection).
         le = cdf[..., None, :] <= u[..., :, None]        # [..., S, B]
-        neg = jnp.float32(-1e30)
-        pos = jnp.float32(1e30)
+        neg = -jnp.finfo(cdf.dtype).max
+        pos = jnp.finfo(cdf.dtype).max
 
         def prefix_max(vals):   # vals[below] with below clamped to 0
             m = jnp.max(jnp.where(le, vals[..., None, :], neg), axis=-1)

@@ -167,7 +167,9 @@ def manipulate_chunk(coarse_fn, fine_fn, ori_rays, tar_rays,
     return rgb, ins, tar_rgb, tar_ins_accum
 
 
-EDIT_CHUNK = 128
+import os as _os
+
+EDIT_CHUNK = int(_os.environ.get("DMNERF_EDIT_CHUNK", 128))
 
 
 def edit_chunk(args) -> int:

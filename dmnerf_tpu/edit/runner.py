@@ -63,8 +63,14 @@ def _prefetch_map(dispatch, items):
         yield _fetch_edit_image(pending)
 
 
-def resolve_target_channel(cfg, params, args, scene, mesh=None, n_views=3):
-    """Map a GT instance label -> the trained model's instance CHANNEL.
+def resolve_target_channel(cfg, params, args, scene, mesh=None, n_views=3,
+                           targets=None):
+    """Map GT instance label(s) -> the trained model's instance CHANNEL(s).
+
+    targets: optional list of GT labels to resolve in ONE matching pass
+    (the Hungarian match already binds every channel); returns a
+    {gt_label: channel} dict. Default (None) resolves args.target_label and
+    returns the single channel — the --mani_eval flow.
 
     DM-NeRF's Hungarian instance loss free-assigns prediction channels to
     objects every step (/root/reference/networks/evaluator.py:41-74), so a
@@ -84,8 +90,9 @@ def resolve_target_channel(cfg, params, args, scene, mesh=None, n_views=3):
     render_im = make_image_renderer(cfg, args, scene.H, scene.W, mesh=mesh,
                                     use_pallas=getattr(args, "use_pallas", False))
     H, W, K = scene.hwk
-    target = int(args.target_label)
-    votes = Counter()
+    wanted = ([int(args.target_label)] if targets is None
+              else [int(t) for t in targets])
+    votes = {t: Counter() for t in wanted}
     for vi in list(scene.i_test)[:n_views]:
         _, label, conf, _ = render_im(params, K, np.asarray(scene.poses[vi]))
         gt_label = np.asarray(scene.gt_labels[vi])
@@ -93,16 +100,19 @@ def resolve_target_channel(cfg, params, args, scene, mesh=None, n_views=3):
                                              args.ins_num)
         valid_gt = np.unique(gt_label)
         for idx, ch in enumerate(matched):
-            if ch != -1 and int(valid_gt[idx]) == target:
-                votes[int(ch)] += 1
-    if not votes:
-        raise ValueError(
-            f"--resolve_target_label: GT label {target} was not matched to "
-            f"any prediction channel in {n_views} test views")
-    ch, n = votes.most_common(1)[0]
-    print(f"[MANI] resolved GT label {target} -> instance channel {ch} "
-          f"({n}/{sum(votes.values())} view votes)")
-    return ch
+            if ch != -1 and int(valid_gt[idx]) in votes:
+                votes[int(valid_gt[idx])][int(ch)] += 1
+    resolved = {}
+    for t in wanted:
+        if not votes[t]:
+            raise ValueError(
+                f"--resolve_target_label: GT label {t} was not matched to "
+                f"any prediction channel in {n_views} test views")
+        ch, n = votes[t].most_common(1)[0]
+        print(f"[MANI] resolved GT label {t} -> instance channel {ch} "
+              f"({n}/{sum(votes[t].values())} view votes)")
+        resolved[t] = ch
+    return resolved if targets is not None else resolved[wanted[0]]
 
 
 def manipulator_eval(cfg, params, ori_poses, hwk, trans_dicts, save_dir, ins_rgbs,

@@ -156,14 +156,20 @@ def train(args: Config, scene: SceneData, mesh=None, n_iters=None,
 
 
 def _in_train_eval(args, render_chunk, state, scene, ldir, step):
-    """10 random test views, full metrics table (train_dmsr.py:88-107).
-    View choice is a pure function of (seed, step) so a resumed run evaluates
-    the same views an uninterrupted run would."""
+    """args.eval_views random test views (default 10, train_dmsr.py:88-107),
+    full metrics table. View choice is a pure function of (seed, step) so a
+    resumed run evaluates the same views an uninterrupted run would; an
+    eval_views >= the split size evaluates ALL test views in a fixed order
+    (noise-free quality curves, configs/stress/dmsr_quality.txt)."""
     from dmnerf_tpu.eval.tester import render_test
 
-    rng = np.random.default_rng([args.seed, step])
-    n = min(10, len(scene.i_test))
-    sel = scene.i_test[rng.choice(len(scene.i_test), size=n, replace=False)]
+    n_views = int(getattr(args, "eval_views", 10) or 10)
+    if n_views >= len(scene.i_test):
+        sel = scene.i_test
+    else:
+        rng = np.random.default_rng([args.seed, step])
+        sel = scene.i_test[rng.choice(len(scene.i_test), size=n_views,
+                                      replace=False)]
     savedir = os.path.join(ldir, f"testset_{step:06d}")
     os.makedirs(savedir, exist_ok=True)
     render_test(render_chunk, state.params, scene.poses[sel], scene.hwk, args,

@@ -23,6 +23,8 @@ from types import SimpleNamespace
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--hw", type=int, default=128, help="square image side")
+    p.add_argument("--H", type=int, default=None)
+    p.add_argument("--W", type=int, default=None)
     p.add_argument("--n_obj", type=int, default=1)
     p.add_argument("--chunk", type=int, default=512)
     p.add_argument("--k", type=int, default=8, help="in-jit repetitions")
@@ -43,7 +45,10 @@ def main():
     cfg = FieldConfig(ins_num=32)
     params = {"coarse": init_field_params(jax.random.PRNGKey(0), cfg),
               "fine": init_field_params(jax.random.PRNGKey(1), cfg)}
-    n_rays = args.hw * args.hw
+    H = args.H or args.hw
+    W = args.W or args.hw
+    n_rays = H * W
+    assert n_rays % args.chunk == 0, (H, W, args.chunk)
     n_obj = args.n_obj
     ns = SimpleNamespace(N_samples=64, N_importance=128, near=2.0, far=6.0,
                          N_test=args.chunk, d2h_pack=False)
@@ -96,7 +101,7 @@ def main():
     tk = scan_time(args.k)
     dev_ms = (tk - t1) / (args.k - 1) * 1e3
     print(f"device edit: {dev_ms:8.1f} ms/image "
-          f"({args.hw}x{args.hw}, {n_obj} obj, chunk {chunk})", flush=True)
+          f"({H}x{W}, {n_obj} obj, chunk {chunk})", flush=True)
 
     if args.skip_e2e:
         return
@@ -122,7 +127,7 @@ def main():
     from dmnerf_tpu.edit.manipulator import make_pose_image_manipulator
     ns.d2h_pack = False
     ns.N_test = chunk
-    Kmat = np.array([[args.hw, 0, args.hw / 2], [0, args.hw, args.hw / 2],
+    Kmat = np.array([[W, 0, W / 2], [0, W, H / 2],
                      [0, 0, 1]], np.float32)
     pose = np.eye(4, dtype=np.float64)
     pose[2, 3] = 4.0
@@ -130,7 +135,7 @@ def main():
     trans[:3, 3] = [0.3, 0.0, 0.0]
     run_pose = make_pose_image_manipulator(
         cfg, params, ns, objs=[{"mode": "rigid"}] * n_obj,
-        move_labels=move_labels, H=args.hw, W=args.hw, K=Kmat,
+        move_labels=move_labels, H=H, W=W, K=Kmat,
         use_pallas=True)
     zscale = jnp.zeros((n_obj,), jnp.float32)
 

@@ -129,6 +129,8 @@ def chunk_variant(coarse_fn, fine_fn, accum_fn, move_labels, n_samples,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--hw", type=int, default=128)
+    p.add_argument("--H", type=int, default=None)
+    p.add_argument("--W", type=int, default=None)
     p.add_argument("--n_obj", type=int, default=1)
     p.add_argument("--chunk", type=int, default=512)
     p.add_argument("--k", type=int, default=8)
@@ -137,7 +139,10 @@ def main():
     cfg = FieldConfig(ins_num=32)
     params = {"coarse": init_field_params(jax.random.PRNGKey(0), cfg),
               "fine": init_field_params(jax.random.PRNGKey(1), cfg)}
-    n_rays = args.hw * args.hw
+    H = args.H or args.hw
+    W = args.W or args.hw
+    n_rays = H * W
+    assert n_rays % args.chunk == 0, (H, W, args.chunk)
     n_obj = args.n_obj
     move_labels = list(range(5, 5 + n_obj))
     near, far = 2.0, 6.0

@@ -76,17 +76,22 @@ class Renderer:
 # ------------------------------------------------------------------- DM-SR
 
 def write_dmsr(out, rend, n_obj=16, H=480, W=640, n_train=48, n_test=4,
-               target_label=5, mani_mode="translation"):
-    base = os.path.join(out, "dmsr", "stress")
+               target_label=5, mani_mode="translation", scene_name="stress",
+               train_phis=(-20.0, -35.0, -50.0), test_phis=(-28.0, -44.0),
+               test_radius=4.3, test_theta0=0.0):
+    base = os.path.join(out, "dmsr", scene_name)
     objs = make_objects(n_obj, seed=0)
     pal = palette(n_obj + 1)
     angle_x = 1.2
     focal = 0.5 * W / np.tan(0.5 * angle_x)
     K = np.array([[focal, 0, W * 0.5], [0, -focal, H * 0.5], [0, 0, -1.0]])
 
-    for split, poses in (("train", _orbit_poses(n_train)),
-                         ("test", _orbit_poses(n_test, radius=4.3,
-                                               phis=(-28.0, -44.0)))):
+    test_orbit = [pose_spherical(test_theta0 + th,
+                                 test_phis[k % len(test_phis)], test_radius)
+                  for k, th in enumerate(np.linspace(0, 360, n_test,
+                                                     endpoint=False))]
+    for split, poses in (("train", _orbit_poses(n_train, phis=train_phis)),
+                         ("test", test_orbit)):
         rgb_dir = os.path.join(base, split, "rgbs")
         ins_dir = os.path.join(base, split, "semantic_instance")
         os.makedirs(rgb_dir, exist_ok=True)
@@ -116,7 +121,7 @@ def write_dmsr(out, rend, n_obj=16, H=480, W=640, n_train=48, n_test=4,
     os.makedirs(rgb_dir, exist_ok=True)
     os.makedirs(ins_dir, exist_ok=True)
     frames = []
-    mani_poses = _orbit_poses(n_test, radius=4.3, phis=(-28.0, -44.0))
+    mani_poses = test_orbit
     for i, pose in enumerate(mani_poses):
         img, lab = rend(pose, H, W, K, edited)
         _imwrite(os.path.join(rgb_dir, f"{i:04d}.png"), _to8b(img))
@@ -127,13 +132,29 @@ def write_dmsr(out, rend, n_obj=16, H=480, W=640, n_train=48, n_test=4,
         json.dump({"camera_angle_x": angle_x, "frames": frames}, f)
     with open(os.path.join(mani, "obj_center.json"), "w") as f:
         json.dump({"center": center, "target_label": target_label}, f)
+    ins_map = {str(i): i for i in range(n_obj + 1)}
     with open(os.path.join(mani, "objs_info_rigid.json"), "w") as f:
         json.dump({"objects": [{
             "obj_name": f"obj{target_label}", "tar_id": target_label,
             "mani_mode": "translation", "obj_center": center,
             "distance": [1.2]}],
-            "view_id": 0,
-            "ins_map": {str(i): i for i in range(n_obj + 1)}}, f)
+            "view_id": 0, "ins_map": ins_map}, f)
+    # demo deform spec: a MIXED deform + rigid pair (the reference's demo
+    # configs are single-mode; mixed rigid+deform is supported here, PARITY.md).
+    # tar_id holds the GT label — the drill configs set resolve_target_label
+    # so cli.test maps it to the trained channel (Hungarian binding is
+    # arbitrary; the reference hand-picks channel ids per checkpoint).
+    rigid2 = min(9, n_obj)
+    with open(os.path.join(mani, "objs_info_deform.json"), "w") as f:
+        json.dump({"objects": [
+            {"obj_name": f"obj{target_label}", "tar_id": target_label,
+             "mani_mode": "deform", "deform_func": "sin",
+             "obj_center": center},
+            {"obj_name": f"obj{rigid2}", "tar_id": rigid2,
+             "mani_mode": "translation",
+             "obj_center": objs[rigid2 - 1].center.tolist(),
+             "distance": [0.8]}],
+            "view_id": 0, "ins_map": ins_map}, f)
 
 
 # ------------------------------------------------------------------- Replica
@@ -219,7 +240,8 @@ def main():
     ap.add_argument("--out", default="data/stress_scenes")
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--only", default=None,
-                    choices=[None, "dmsr", "replica", "replica64", "scannet"])
+                    choices=[None, "dmsr", "dmsr_quality", "replica",
+                             "replica64", "scannet"])
     ap.add_argument("--dmsr_train_views", type=int, default=48,
                     help="train-view count for the DM-SR scene (the reference "
                          "DM-SR scenes ship ~300 views; 96 is enough to push "
@@ -228,6 +250,18 @@ def main():
     rend = Renderer(args.device)
     if args.only in (None, "dmsr"):
         write_dmsr(args.out, rend, n_train=args.dmsr_train_views)
+    if args.only == "dmsr_quality":
+        # quality-convergence fixture (round-5 verdict item 2): the original
+        # stress split overfits — its 4 test views sit at elevations (-28,-44)
+        # BETWEEN/OUTSIDE the 3 training rings (-20,-35,-50), so test PSNR
+        # declines while train PSNR climbs. This variant makes test quality
+        # observable: 240 train views over 5 elevation rings spanning the
+        # test range, 24 held-out test views at in-span elevations and
+        # half-step offset azimuths, same 16-object scene and camera radius.
+        write_dmsr(args.out, rend, scene_name="quality", n_train=240,
+                   n_test=24, train_phis=(-20.0, -28.0, -36.0, -44.0, -52.0),
+                   test_phis=(-24.0, -32.0, -40.0, -48.0), test_radius=4.0,
+                   test_theta0=7.5)
     if args.only in (None, "replica"):
         write_replica(args.out, rend)
     if args.only == "replica64":
