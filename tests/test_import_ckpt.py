@@ -94,6 +94,39 @@ def test_roundtrip_bit_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
 
 
+@pytest.mark.slow
+def test_export_import_roundtrip(tmp_path):
+    """tools/export_torch_ckpt: ckpt_N -> reference .tar -> ckpt_N is
+    bit-identical f32 (both conversion directions share one mapping table,
+    import_torch_ckpt.py docstring)."""
+    from export_torch_ckpt import export_checkpoint
+
+    from dmnerf_tpu.train.checkpoint import save_checkpoint
+
+    args = _args()
+    cfg = FieldConfig.from_args(args)
+    kc, kf = jax.random.split(jax.random.PRNGKey(7))
+    params = {"coarse": init_field_params(kc, cfg, scheme="torch"),
+              "fine": init_field_params(kf, cfg, scheme="torch")}
+    template = create_train_state(jax.random.PRNGKey(0), cfg, args.lrate,
+                                  args.lrate_decay)
+    state = template._replace(params=params, step=np.int32(123000))
+    src = save_checkpoint(str(tmp_path / "a"), state, 123000)
+
+    tar = export_checkpoint(src, args, out=str(tmp_path / "123000.tar"))
+    blob = torch.load(tar, map_location="cpu", weights_only=False)
+    assert blob["iteration"] == 123000
+    assert blob["optimizer_state_dict"] == {}
+
+    back = import_checkpoint(tar, args, out_dir=str(tmp_path / "b"))
+    restored = restore_checkpoint(back, template)
+    assert int(restored.step) == 123000
+    flat_o, _ = jax.tree_util.tree_flatten(params)
+    flat_r, _ = jax.tree_util.tree_flatten(restored.params)
+    for o, r in zip(flat_o, flat_r):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+
+
 def test_mismatched_config_rejected(tmp_path):
     """netwidth / ins_num / netdepth mismatches fail loudly, not silently."""
     args = _args()
