@@ -172,16 +172,23 @@ import os as _os
 EDIT_CHUNK = int(_os.environ.get("DMNERF_EDIT_CHUNK", 128))
 
 
-def edit_chunk(args) -> int:
-    """Ray-chunk size for whole-image edits: N_test capped at 128 when evenly
-    divisible. Measured on v5e (128x128 image, pallas field), ms/image by
-    chunk: 1 obj {32: 265, 64: 264, 128: 261, 256: 283, 512: 296, 1024: 321,
-    2048: 339, 4096: 488-era}; 2 obj {128: 509, 256: 538, 512: 558} — the
-    working-set effect of keeping the per-chunk [chunk, 64+128+128*n_obj, 37]
-    f32 raws near VMEM size so XLA fuses the exchanger/composite consumers
-    instead of round-tripping HBM. N_test stays the memory upper bound."""
+def edit_chunk(args, n_obj: int = 1) -> int:
+    """Ray-chunk size for whole-image edits: N_test capped at 128 (1 object)
+    or 64 (2+ objects) when evenly divisible. The cap keeps the per-chunk
+    [chunk, 64+128+128*n_obj, 37] f32 raws near VMEM size so XLA fuses the
+    exchanger/composite consumers instead of round-tripping HBM — the working
+    set doubles with the second object, so the optimal chunk halves.
+    Measured on v5e (pallas field), device ms/image by chunk:
+      128x128, 1 obj: {32: 265, 64: 264, 128: 261, 256: 283, 512: 296,
+                       1024: 321, 2048: 339}
+      640x480, 1 obj: {32: 4899, 128: 4851, 256: 5296, 512: 5572,
+                       1024: 5887, 2048: 6214}
+      640x480, 2 obj: {32: 8950, 64: 8947, 128: 9563}
+    (the 640x480 rows are the round-5 reference-resolution sweep; see
+    docs/DESIGN.md "Round-5"). N_test stays the memory upper bound."""
+    cap = EDIT_CHUNK if n_obj <= 1 else max(EDIT_CHUNK // 2, 32)
     c = int(args.N_test)
-    return EDIT_CHUNK if c > EDIT_CHUNK and c % EDIT_CHUNK == 0 else c
+    return cap if c > cap and c % cap == 0 else c
 
 
 def _field_fns(cfg, params, use_pallas: bool, mesh=None):
@@ -241,7 +248,7 @@ def _make_image_edit_core(cfg, params, args, n_obj: int,
     """Traceable (unjitted) whole-image edit over padded ray arrays — the
     shared core of make_image_manipulator (host-built rays) and
     make_pose_image_manipulator (in-graph raygen from poses)."""
-    chunk = edit_chunk(args)
+    chunk = edit_chunk(args, n_obj)
     assert n_rays % chunk == 0
     pack = bool(getattr(args, "d2h_pack", False))
     coarse_fn, fine_fn = _field_fns(cfg, params, use_pallas, mesh)
@@ -329,7 +336,7 @@ def make_pose_image_manipulator(cfg, params, args, objs, move_labels: List[int],
     is ~1e-7 per offset (test_manipulator.py bounds it at 2e-5 end-to-end) —
     the two paths are equal to tolerance, not bit-identical."""
     n_obj = len(objs)
-    chunk = edit_chunk(args)
+    chunk = edit_chunk(args, n_obj)
     n = H * W
     n_pad = (-n) % chunk
     core = _make_image_edit_core(cfg, params, args, n_obj, move_labels,

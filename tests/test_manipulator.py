@@ -132,6 +132,12 @@ def test_edit_chunk_cap():
     assert edit_chunk(default_config(N_test=128)) == 128
     assert edit_chunk(default_config(N_test=1000)) == 1000  # not divisible
     assert edit_chunk(default_config(N_test=64)) == 64      # already smaller
+    # 2+ objects double the per-chunk raw working set -> the cap halves
+    # (640x480 sweep in the edit_chunk docstring)
+    assert edit_chunk(default_config(N_test=4096), n_obj=2) == 64
+    assert edit_chunk(default_config(N_test=4096), n_obj=3) == 64
+    assert edit_chunk(default_config(N_test=64), n_obj=2) == 64
+    assert edit_chunk(default_config(N_test=96), n_obj=2) == 96  # not divisible
 
 
 @pytest.mark.slow
