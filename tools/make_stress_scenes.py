@@ -64,7 +64,16 @@ class Renderer:
     def __init__(self, device, near=1.0, far=14.0, n_samples=192):
         self.near, self.far, self.n = near, far, n_samples
         self.xp = np
-        if device == "tpu":
+        if device == "jax_cpu":
+            # the axon plugin ignores JAX_PLATFORMS; force the platform via
+            # jax.config BEFORE the backend initializes (tests/conftest.py).
+            # One local XLA-CPU compile (~10 s) then ~6 s/view at 640x480 —
+            # the tunnel-side compile of this program was observed to hang
+            # >15 min (round-5; same class as the chunk-64 pathology noted in
+            # docs/DESIGN.md), so jax_cpu is the reliable fixture path.
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        if device in ("tpu", "jax_cpu"):
             import jax.numpy as jnp
             self.xp = jnp
 
@@ -238,7 +247,8 @@ def write_scannet(out, rend, n_obj=16, H=480, W=640, n_train=20, n_test=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data/stress_scenes")
-    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--device", default="cpu",
+                    choices=["cpu", "tpu", "jax_cpu"])
     ap.add_argument("--only", default=None,
                     choices=[None, "dmsr", "dmsr_quality", "replica",
                              "replica64", "scannet"])
