@@ -94,7 +94,14 @@ def main(argv=None):
                     help="ckpt_N dir (default: latest in the config's log dir)")
     ap.add_argument("--out", default=None,
                     help="output .tar (default: <ckpt dir>/<iter>.tar)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="convert on the host CPU without touching the "
+                         "accelerator (mirror of import_torch_ckpt --cpu)")
     ns = ap.parse_args(argv)
+
+    if ns.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from dmnerf_tpu.config import initial, log_dir
     from dmnerf_tpu.train.checkpoint import latest_checkpoint

@@ -132,7 +132,17 @@ def main(argv=None):
     ap.add_argument("--out", default=None,
                     help="output dir (default: the config's log dir, where "
                          "cli.test looks)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="convert on the host CPU without touching the "
+                         "accelerator (conversion is pure data movement; on "
+                         "a single-tenant TPU this avoids contending with a "
+                         "training job — JAX_PLATFORMS alone is not enough "
+                         "because plugin backends can ignore it)")
     ns = ap.parse_args(argv)
+
+    if ns.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from dmnerf_tpu.config import initial
     args = initial(["--config", ns.config])
