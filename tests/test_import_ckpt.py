@@ -199,3 +199,42 @@ def test_state_dict_mapping_shapes():
     assert tdef_o == tdef_b
     for o, b in zip(flat_o, flat_b):
         np.testing.assert_array_equal(np.asarray(o), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_cli_mains_cpu_flag(tmp_path, capsys):
+    """Both converter CLIs accept --cpu (force host platform before the
+    backend initializes; plugin backends ignore JAX_PLATFORMS) and
+    round-trip through their argparse mains."""
+    import import_torch_ckpt as imp_cli
+    from export_torch_ckpt import main as exp_main
+
+    args = _args()
+    cfg = FieldConfig.from_args(args)
+    kc, kf = jax.random.split(jax.random.PRNGKey(11))
+    params = {"coarse": init_field_params(kc, cfg, scheme="torch"),
+              "fine": init_field_params(kf, cfg, scheme="torch")}
+    tar = tmp_path / "007000.tar"
+    _write_ref_ckpt(str(tar), params, cfg, 7000)
+
+    cfg_txt = tmp_path / "model.txt"
+    cfg_txt.write_text(
+        "expname = imp_cli\n"
+        f"basedir = {tmp_path}/logs\n"
+        f"datadir = {tmp_path}/nodata\n"
+        "netdepth = 4\nnetwidth = 64\nmultires = 6\nmultires_views = 2\n"
+        "lrate = 5e-4\nlrate_decay = 500\nlog_time = t\n")
+
+    imp_cli.main(["--ckpt", str(tar), "--config", str(cfg_txt),
+                  "--out", str(tmp_path / "o"), "--cpu"])
+    out = capsys.readouterr().out
+    assert "ckpt_007000" in out
+    exp_main(["--config", str(cfg_txt), "--ckpt",
+              str(tmp_path / "o" / "ckpt_007000"),
+              "--out", str(tmp_path / "back.tar"), "--cpu"])
+    blob = torch.load(tmp_path / "back.tar", map_location="cpu",
+                      weights_only=False)
+    assert blob["iteration"] == 7000
+    sd = _state_dict_from_params(params["fine"], cfg)
+    for k, v in blob["network_fine_state_dict"].items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(sd[k]))
