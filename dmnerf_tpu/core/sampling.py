@@ -38,7 +38,7 @@ def perturb_z_vals(key: jax.Array, z_vals: jnp.ndarray) -> jnp.ndarray:
 # Trace-time override of sample_pdf's `form` argument (None = use the call's
 # value). bench.py's render-form A/B sets this around renderer CONSTRUCTION:
 # the chosen form is baked into the trace, so already-compiled callables are
-# unaffected. Not a runtime knob — production callers pass form= explicitly.
+# unaffected. Not a runtime knob — production callers all ride form='auto'.
 FORM_OVERRIDE: str | None = None
 
 
@@ -84,17 +84,21 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     # forms below realize the four gathers cdf/bins[below/above] from the same
     # [.., S, B] comparison without any dynamic-index gather. History:
     # take_along_axis gathers measured 33 ms at the reference workload on TPU.
-    # Form choice (measured, v5e, B=65, S=128, f32): the matmul form wins on
-    # SMALL batches (the edit path's chunk-128 batched det calls, ~3.5x fewer
-    # VPU passes); the mask form wins on LARGE batches (train 3072 / render
-    # 4096 rays), where the batched [.., S, B] x [.., B, 4] contraction's
-    # 4-wide output pads to 128 MXU lanes and costs ~2% whole-render time.
-    # 'auto' switches on the flattened leading batch size.
+    # Form choice (measured IN CONTEXT on v5e, B=65, S=128, f32 — standalone
+    # micro-timings are dispatch-dominated on this tunnel and do not resolve
+    # the forms): the matmul form wins the edit path's chunk-128 batched det
+    # calls (~3.5x fewer VPU passes; round-4 edit A/B); the mask form wins
+    # the train step (batch 3072) AND the fused eval render (chunk 512 —
+    # round-5 interleaved whole-render A/B: mask 280.1k vs matmul 275.6k
+    # rays/s), where the [.., S, B] x [.., B, 4] contraction's 4-wide output
+    # pads to 128 MXU lanes. 'auto' switches on the flattened leading batch
+    # size; the two measured points are 128 (matmul) and 512 (mask), so the
+    # threshold sits at 128 — the largest batch where matmul has ever won.
     if form == "auto":
         batch = 1
         for d in cdf.shape[:-1]:
             batch *= d
-        form = "matmul" if batch <= 1024 else "mask"
+        form = "matmul" if batch <= 128 else "mask"
 
     if form == "matmul":
         # Boundary-onehot batched matmul: le[s,b] = (cdf[b] <= u_s) is
