@@ -96,7 +96,7 @@ def test_sample_pdf_matches_numpy_searchsorted():
 def test_sample_pdf_forms_bitwise_equal():
     """The MXU onehot-matmul form and the VPU masked-reduction form must be
     bitwise identical (the 'auto' switch between them may then never change
-    numerics). Covers both sides of the auto threshold (batch 1024) and both
+    numerics). Covers both sides of the auto threshold (batch 128) and both
     det and stochastic u, including degenerate all-equal-weight rows."""
     rng = np.random.default_rng(3)
     for batch in (6, 2048):
@@ -109,6 +109,37 @@ def test_sample_pdf_forms_bitwise_equal():
             b = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(w), 128,
                                       key=key, det=det, form="mask"))
             assert (a == b).all()
+
+
+def test_sample_pdf_form_routing():
+    """'auto' routes batch<=128 to the MXU matmul form (the edit path's
+    chunked det calls) and larger batches to the VPU mask form (train 3072 /
+    fused render 512 — see the measurement table in sampling.py); explicit
+    forms and the bench's trace-time FORM_OVERRIDE take precedence; unknown
+    form strings raise instead of silently falling through (advisor r4)."""
+    import pytest
+
+    import dmnerf_tpu.core.sampling as sampling
+
+    def uses_mxu(batch, **kw):
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9), (batch, 9))
+        w = jnp.ones((batch, 8))
+        jaxpr = jax.make_jaxpr(
+            lambda b, ww: sample_pdf(b, ww, 4, det=True, **kw))(bins, w)
+        return "dot_general" in str(jaxpr)
+
+    assert uses_mxu(128)                       # auto: edit chunk -> matmul
+    assert not uses_mxu(129)                   # auto: above threshold -> mask
+    assert uses_mxu(2048, form="matmul")       # explicit form ignores batch
+    assert not uses_mxu(64, form="mask")
+    sampling.FORM_OVERRIDE = "matmul"
+    try:
+        assert uses_mxu(2048, form="mask")     # override beats the argument
+    finally:
+        sampling.FORM_OVERRIDE = None
+    with pytest.raises(ValueError, match="unknown form"):
+        sample_pdf(jnp.zeros((2, 9)), jnp.ones((2, 8)), 4, det=True,
+                   form="masks")
 
 
 def test_composite_opaque_surface():
