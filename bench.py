@@ -44,7 +44,7 @@ V5E_BF16_PEAK = 197e12
 # `pytest tests/ -q`; fast lane: `pytest -m "not oracle and not slow"`).
 # tests/test_suite_count.py asserts this matches live collection so the
 # emitted value cannot go stale.
-VALIDATED_TEST_COUNT = 250
+VALIDATED_TEST_COUNT = 251
 
 
 def _train_flops_per_step(n_train, n_samples, n_importance, params_per_field):

